@@ -1,0 +1,306 @@
+"""Configuration system.
+
+TPU-native counterpart of the reference's single Config class
+(reference: utils/config.py:12-426 defaults, :432-771 YAML overlay,
+:773-777 derived values). Same semantics: a flat typed attribute space,
+12-section YAML overlay where *presence of a section toggles the subsystem*
+(e.g. a ``tracker:`` section enables tracking, ``pgo:`` enables the pose
+graph, ``gs:`` enables Gaussian-splatting mapping), CLI overrides applied on
+top, derived parameters computed last.
+
+Data tensors are float32 on device; pose composition is float64 on host
+(reference: utils/config.py:428-430).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+@dataclass
+class Config:
+    # ---------------- setting ----------------
+    name: str = "dummy"
+    run_name: str = ""
+    output_root: str = "./experiments"
+    pc_path: str = ""
+    data_loader_name: str = "generic"
+    data_loader_seq: str = ""
+    begin_frame: int = 0
+    end_frame: int = -1
+    step_frame: int = 1
+    seed: int = 42
+    device: str = "tpu"
+    silence: bool = False
+    wandb_vis_on: bool = False
+    deskew: bool = False
+    kitti_correction_on: bool = False
+    correction_deg: float = 0.195
+
+    # ---------------- process ----------------
+    min_range: float = 2.5
+    max_range: float = 60.0
+    min_z: float = -10.0
+    max_z: float = 60.0
+    rand_downsample: bool = False
+    vox_down_m: float = 0.08  # derived default: 0.05 * max_range / 60 style
+    rand_down_r: float = 1.0
+    dynamic_filter_on: bool = False
+    dynamic_certainty_thre: float = 5.0
+    dynamic_sdf_ratio_thre: float = 1.5
+
+    # ---------------- sampler ----------------
+    surface_sample_range_m: float = 0.25
+    surface_sample_n: int = 3
+    free_sample_begin_ratio: float = 0.3
+    free_sample_end_dist_m: float = 1.0
+    free_front_n: int = 2
+    free_behind_n: int = 1
+
+    # ---------------- neuralpoints ----------------
+    voxel_size_m: float = 0.3
+    max_points: int = 1 << 20          # capacity of the global point buffer
+    max_local_points: int = 1 << 17    # capacity of the local map view
+    buffer_size: int = 1 << 22         # spatial hash table size
+    feature_dim: int = 8
+    color_feature_dim: int = 8
+    feature_std: float = 0.0
+    query_nn_k: int = 6
+    num_nei_cells: int = 1             # stencil radius in voxels
+    search_alpha: float = 0.2
+    use_mid_ts: bool = True
+    local_map_travel_dist_ratio: float = 5.0
+    local_map_radius: float = 65.0     # derived: ~1.05 * max_range
+    sorrounding_map_radius: float = 91.0  # derived: 1.4 * local_map_radius
+    max_prune_certainty: float = 2.0
+    color_on: bool = True
+    semantic_on: bool = False
+
+    # ---------------- decoder ----------------
+    mlp_bias_on: bool = True
+    geo_mlp_hidden_dim: int = 64
+    geo_mlp_level: int = 1
+    color_mlp_hidden_dim: int = 64
+    color_mlp_level: int = 1
+    sem_mlp_hidden_dim: int = 64
+    sem_mlp_level: int = 1
+    gaussian_mlp_hidden_dim: int = 64
+    gaussian_mlp_level: int = 1
+    freeze_after_frame: int = 40
+    sem_class_count: int = 20
+
+    # ---------------- loss ----------------
+    sigma_sigmoid_m: float = 0.1
+    logistic_gaussian_ratio: float = 0.55
+    proj_correction_on: bool = False
+    loss_weight_on: bool = False
+    dist_weight_scale: float = 0.8
+    ekional_loss_on: bool = True
+    weight_e: float = 0.5
+    numerical_grad: bool = True
+    gradient_decimation: int = 10
+    num_grad_step_ratio: float = 0.2
+    consistency_loss_on: bool = False
+    weight_c: float = 0.5
+    weight_s: float = 1.0
+    weight_i: float = 1.0
+
+    # ---------------- continual (replay pool) ----------------
+    pool_capacity: int = 1 << 22
+    bs_new_sample: int = 2048
+    new_certainty_thre: float = 1.0
+    pool_filter_freq: int = 10
+    window_radius: float = 60.0
+    local_sample_buffer: int = 1 << 20
+
+    # ---------------- tracker ----------------
+    track_on: bool = True
+    photometric_loss_on: bool = False
+    photometric_loss_weight: float = 0.01
+    source_vox_down_m: float = 0.6
+    source_max_count: int = 8192
+    reg_iter_n: int = 50
+    reg_term_thre_deg: float = 0.01
+    reg_term_thre_m: float = 0.0005
+    reg_gm_k: float = 0.3
+    reg_gm_grad_anomaly: float = 3.0
+    reg_lm_lambda: float = 1e-4
+    reg_min_grad_norm: float = 0.4
+    reg_max_grad_norm: float = 2.5
+    max_sdf_std_ratio: float = 1.0
+    valid_ratio_thre: float = 0.15
+    max_valid_final_sdf_residual_cm: float = 30.0
+    max_valid_dist_residual_cm: float = 30.0
+    eigenvalue_check: bool = True
+    eigenvalue_ratio_thre: float = 0.005
+    stop_frame_thre: int = 20
+    lose_track_abort_n: int = 20
+
+    # ---------------- pgo ----------------
+    pgo_on: bool = False
+    pgo_freq_frame: int = 30
+    pgo_with_pose_prior: bool = False
+    pgo_tran_std: float = 0.04
+    pgo_rot_std: float = 0.01
+    pgo_error_thre_frame: float = 0.5
+    use_reg_cov_mat: bool = False
+    pgo_max_iter: int = 50
+
+    # ---------------- loop detection ----------------
+    local_map_context: bool = True
+    loop_with_feature: bool = False
+    min_loop_travel_dist_ratio: float = 4.0
+    local_map_context_latency: int = 5
+    context_shape: List[int] = field(default_factory=lambda: [20, 60])
+    context_num_candidates: int = 1
+    context_cosdist_threshold: float = 0.25
+    context_virtual_side_count: int = 5
+    context_virtual_step_m: float = 2.0
+    npmc_max_dist: float = 60.0
+    max_loop_dist: float = 8.0
+    voxel_down_before_context: bool = True
+
+    # ---------------- optimizer ----------------
+    mapping_iters: int = 15
+    new_obs_ratio_based_iters: bool = True
+    adaptive_iters: bool = True
+    lr: float = 0.01
+    lr_mlp_base: float = 1e-3
+    lr_exposure: float = 1e-3
+    lr_cam_dr: float = 1e-4
+    lr_cam_dt: float = 1e-4
+    weight_decay: float = 0.0
+    adam_eps: float = 1e-15
+    bs: int = 16384
+    infer_bs: int = 131072           # derived: 8 * bs
+
+    # ---------------- gs (gaussian splatting) ----------------
+    gs_on: bool = True
+    gs_type: str = "3d_gs"           # "3d_gs" | "gaussian_surfel" | "2d_gs"
+    spawn_n_gaussian: int = 8
+    displacement_range_ratio: float = 1.0
+    unit_scale_ratio: float = 0.5
+    max_scale_ratio: float = 3.0
+    dist_concat_on: bool = True
+    view_concat_on: bool = True
+    learn_color_residual: bool = True
+    monochrome: bool = False
+    gs_iters: int = 50
+    init_iter_ratio: int = 20
+    img_pool_size: int = 10
+    long_term_pool_size: int = 40
+    train_img_downrate: int = 1
+    gs_keyframe_interval: int = 1
+    sample_latest_prob: float = 0.3
+    sample_short_term_prob: float = 0.4
+    lambda_ssim: float = 0.2
+    lambda_depth: float = 0.01
+    inverse_depth_loss: bool = False
+    lambda_normal_depth_consist: float = 0.01
+    lambda_mono_normal: float = 0.0
+    lambda_sky: float = 0.01
+    lambda_opacity_ent: float = 0.01
+    lambda_isotropic: float = 0.0
+    lambda_area: float = 0.0
+    lambda_distortion: float = 0.0
+    gs_sdf_consistency_on: bool = True
+    lambda_gs_sdf_consist: float = 0.1
+    lambda_gs_sdf_normal_consist: float = 0.1
+    gs_sdf_sample_count: int = 1024
+    gs_invalid_check_on: bool = True
+    gs_invalid_sdf_thre_ratio: float = 3.0
+    exposure_correction_on: bool = False
+    affine_exposure_correction: bool = False
+    cam_pose_train_on: bool = False
+    sky_on: bool = False
+    min_alpha: float = 0.0
+    bg_color: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
+    tile_size: int = 16
+    max_gs_per_tile: int = 512       # static per-tile capacity (Pallas)
+    max_render_gaussians: int = 1 << 18
+
+    # ---------------- eval ----------------
+    wandb_project: str = "pings_tpu"
+    o3d_vis_on: bool = False
+    eval_traj_on: bool = True
+    save_map: bool = True
+    save_mesh: bool = False
+    save_merged_pc: bool = False
+    mesh_freq_frame: int = 0
+    mesh_min_nn: int = 8
+    mc_res_m: float = 0.2
+    pad_voxel: int = 2
+    skip_top_voxel: int = 0
+    mc_mask_on: bool = True
+    mesh_default_path: str = ""
+    eval_gs_every_frame: int = 0
+    gs_eval_cam_refine_on: bool = False
+    gs_eval_cam_refine_iters: int = 50
+
+    def __post_init__(self):
+        self.run_path: str = ""
+
+    # -- derived values (reference: utils/config.py:773-777) ----------------
+    def derive(self) -> "Config":
+        self.infer_bs = 8 * self.bs
+        self.local_map_radius = 1.05 * self.max_range
+        self.sorrounding_map_radius = 1.4 * self.local_map_radius
+        self.window_radius = max(self.max_range, self.window_radius)
+        if self.vox_down_m <= 0:
+            self.vox_down_m = 0.05 * self.max_range / 60.0
+        if self.source_vox_down_m <= 0:
+            self.source_vox_down_m = 10.0 * self.vox_down_m
+        return self
+
+    # -- YAML overlay --------------------------------------------------------
+    SECTIONS = (
+        "setting", "process", "sampler", "neuralpoints", "decoder", "loss",
+        "continual", "tracker", "pgo", "optimizer", "gs", "eval",
+    )
+
+    @classmethod
+    def load(cls, path: str | Path | None = None,
+             overrides: Optional[Dict[str, Any]] = None) -> "Config":
+        cfg = cls()
+        if path is not None:
+            with open(path) as f:
+                raw = yaml.safe_load(f) or {}
+            known = {f.name for f in dataclasses.fields(cls)}
+            for section, vals in raw.items():
+                if not isinstance(vals, dict):
+                    if section in known:
+                        setattr(cfg, section, vals)
+                    continue
+                # presence of a section toggles the subsystem
+                if section == "tracker":
+                    cfg.track_on = True
+                elif section == "pgo":
+                    cfg.pgo_on = True
+                elif section == "gs":
+                    cfg.gs_on = True
+                for k, v in vals.items():
+                    if k in known:
+                        setattr(cfg, k, v)
+            if "tracker" not in raw:
+                cfg.track_on = False
+            if "pgo" not in raw:
+                cfg.pgo_on = False
+            if "gs" not in raw:
+                cfg.gs_on = False
+        if overrides:
+            known = {f.name for f in dataclasses.fields(cls)}
+            for k, v in overrides.items():
+                if k not in known:
+                    raise KeyError(f"unknown config key: {k}")
+                setattr(cfg, k, v)
+        return cfg.derive()
+
+    def dump(self, path: str | Path) -> None:
+        d = {f.name: getattr(self, f.name) for f in dataclasses.fields(self)}
+        with open(path, "w") as f:
+            yaml.safe_dump(d, f, sort_keys=True)

@@ -1,0 +1,144 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pings_tpu.ops import transforms as tf
+from pings_tpu.utils import pose as hp
+
+
+def random_rotmats(rng, n):
+    # random quaternions -> rotmats
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    return np.stack([hp.quat_to_rotmat(qi) for qi in q]), q
+
+
+class TestQuat:
+    def test_mul_conj_identity(self, rng):
+        q = tf.quat_normalize(jnp.asarray(rng.normal(size=(32, 4)), jnp.float32))
+        out = tf.quat_multiply(q, tf.quat_conjugate(q))
+        np.testing.assert_allclose(out[:, 0], 1.0, atol=1e-5)
+        np.testing.assert_allclose(out[:, 1:], 0.0, atol=1e-5)
+
+    def test_quat_rotmat_roundtrip(self, rng):
+        R, _ = random_rotmats(rng, 64)
+        q = tf.rotmat_to_quat(jnp.asarray(R, jnp.float32))
+        R2 = tf.quat_to_rotmat(q)
+        np.testing.assert_allclose(R2, R, atol=1e-5)
+
+    def test_rotmat_to_quat_near_pi(self):
+        # 180-degree rotations hit the non-trace branches
+        for axis in np.eye(3):
+            R = hp.so3_exp(np.pi * axis)
+            q = tf.rotmat_to_quat(jnp.asarray(R, jnp.float32))
+            R2 = np.array(tf.quat_to_rotmat(q))
+            np.testing.assert_allclose(R2, R, atol=1e-4)
+
+    def test_quat_rotate_matches_rotmat(self, rng):
+        R, q = random_rotmats(rng, 16)
+        v = rng.normal(size=(16, 3)).astype(np.float32)
+        got = tf.quat_rotate(jnp.asarray(q, jnp.float32), jnp.asarray(v))
+        want = np.einsum("nij,nj->ni", R, v)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_slerp_endpoints_and_midpoint(self, rng):
+        q0 = jnp.array([1.0, 0, 0, 0])
+        # 90 deg about z
+        q1 = jnp.array([np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)], dtype=jnp.float32)
+        np.testing.assert_allclose(tf.quat_slerp(q0, q1, 0.0), q0, atol=1e-6)
+        np.testing.assert_allclose(tf.quat_slerp(q0, q1, 1.0), q1, atol=1e-6)
+        mid = tf.quat_slerp(q0, q1, 0.5)
+        want = np.array([np.cos(np.pi / 8), 0, 0, np.sin(np.pi / 8)])
+        np.testing.assert_allclose(mid, want, atol=1e-6)
+
+
+class TestSE3:
+    def test_exp_matches_host(self, rng):
+        xi = rng.normal(size=(16, 6)).astype(np.float32) * 0.5
+        dev = tf.se3_exp(jnp.asarray(xi))
+        host = np.stack([hp.se3_exp(x.astype(np.float64)) for x in xi])
+        np.testing.assert_allclose(dev, host, atol=3e-3)  # f32 vs f64
+
+    def test_exp_log_roundtrip_host(self, rng):
+        for _ in range(20):
+            xi = rng.normal(size=6) * 1.5
+            T = hp.se3_exp(xi)
+            xi2 = hp.se3_log(T)
+            np.testing.assert_allclose(hp.se3_exp(xi2), T, atol=1e-9)
+
+    def test_inverse(self, rng):
+        xi = rng.normal(size=(8, 6)).astype(np.float32)
+        T = tf.se3_exp(jnp.asarray(xi))
+        eye = tf.se3_inverse(T) @ T
+        np.testing.assert_allclose(eye, np.broadcast_to(np.eye(4), (8, 4, 4)), atol=1e-5)
+
+    def test_transform_points(self, rng):
+        T = hp.se3_exp(rng.normal(size=6))
+        pts = rng.normal(size=(100, 3)).astype(np.float32)
+        got = tf.transform_points(jnp.asarray(T, jnp.float32), jnp.asarray(pts))
+        want = (T[:3, :3] @ pts.T).T + T[:3, 3]
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_slerp_pose_midpoint(self, rng):
+        T0 = np.eye(4, dtype=np.float32)
+        T1 = hp.se3_exp(np.array([1.0, 0, 0, 0, 0, np.pi / 2])).astype(np.float32)
+        Tm = tf.slerp_pose(jnp.asarray(T0), jnp.asarray(T1), 0.5)
+        ang = hp.rotation_angle_deg(np.array(Tm[:3, :3], dtype=np.float64))
+        assert abs(ang - 45.0) < 0.1
+        np.testing.assert_allclose(Tm[:3, 3], T1[:3, 3] / 2, atol=1e-5)
+
+
+class TestVoxelDownsample:
+    def test_one_per_voxel_closest_to_center(self, rng):
+        vs = 1.0
+        # Two points in voxel (0,0,0): (0.5,0.5,0.5) is the exact center
+        pts = np.array(
+            [[0.5, 0.5, 0.5], [0.9, 0.9, 0.9], [1.5, 0.5, 0.5]], dtype=np.float32
+        )
+        mask = jnp.ones(3, bool)
+        keep = tf.voxel_down_sample_mask(jnp.asarray(pts), mask, vs)
+        np.testing.assert_array_equal(np.array(keep), [True, False, True])
+
+    def test_masked_points_never_kept(self, rng):
+        pts = jnp.asarray(rng.normal(size=(256, 3)).astype(np.float32) * 5)
+        mask = jnp.asarray(rng.random(256) > 0.5)
+        keep = tf.voxel_down_sample_mask(pts, mask, 0.5)
+        assert not np.any(np.array(keep) & ~np.array(mask))
+
+    def test_downsamples_dense_cloud(self, rng):
+        pts = jnp.asarray(rng.random((4096, 3)).astype(np.float32))  # 1m cube
+        keep = tf.voxel_down_sample_mask(pts, jnp.ones(4096, bool), 0.25)
+        n = int(np.sum(np.array(keep)))
+        assert 30 <= n <= 64  # 4^3 voxels max
+
+
+class TestProjection:
+    def test_project_and_depth_map(self):
+        K = jnp.array([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]])
+        pts = jnp.array([[0.0, 0.0, 2.0], [0.0, 0.0, 4.0], [10.0, 0.0, 1.0]])
+        T = jnp.eye(4)
+        uv, z, valid = tf.project_points_to_cam(
+            pts, jnp.ones(3, bool), T, K, 64, 48
+        )
+        assert bool(valid[0]) and bool(valid[1])
+        assert not bool(valid[2])  # out of image
+        np.testing.assert_allclose(uv[0], [32, 24], atol=1e-5)
+        dm = tf.splat_depth_map(uv, z, valid, 64, 48)
+        # both points project to the principal point; min depth wins
+        assert abs(float(dm[24, 32]) - 2.0) < 1e-5
+
+    def test_deskew_static_points_identity(self, rng):
+        pts = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+        ts = jnp.ones(64)  # all at sweep end
+        T_rel = jnp.asarray(hp.se3_exp(rng.normal(size=6) * 0.1), jnp.float32)
+        out = tf.deskew(pts, ts, T_rel, ref_frac=1.0)
+        np.testing.assert_allclose(out, pts, atol=1e-5)
+
+    def test_deskew_start_points_moved_by_full_motion(self, rng):
+        pts = jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32))
+        ts = jnp.zeros(8)
+        T_rel_np = hp.se3_exp(np.array([0.5, 0.1, 0, 0, 0, 0.3]))
+        out = tf.deskew(pts, ts, jnp.asarray(T_rel_np, jnp.float32), ref_frac=1.0)
+        want = (T_rel_np[:3, :3] @ np.array(pts).T).T + T_rel_np[:3, 3]
+        np.testing.assert_allclose(out, want, atol=1e-4)
