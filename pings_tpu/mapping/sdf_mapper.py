@@ -1,0 +1,131 @@
+"""SDF mapping: the jitted continual-training step for the neural SDF.
+
+Reference: Mapper.sdf_mapping (utils/mapper.py:792-991) — per iteration:
+sample a batch from the replay pool, query neural-point features, decode
+SDF (+ color/semantics), compute BCE + eikonal (+ color) losses, AdamW step
+over [neural-point features, decoder MLPs], write features back.
+
+TPU re-design: one fused jitted ``sdf_step`` whose trainable pytree is
+{geo_feat, color_feat, sdf-MLP, color-MLP}. Feature gradients flow into the
+*global* capacity-padded arrays (dense optax update; only queried rows get
+nonzero grad). Optimizer = optax multi_transform mirroring the reference's
+per-param-group AdamW (utils/tools.py:142-365): features at ``lr``, MLPs at
+``lr_mlp_base``, eps=adam_eps.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pings_tpu.mapping import losses
+from pings_tpu.models import field
+from pings_tpu.models import neural_points as npm
+
+
+def make_sdf_optimizer(cfg) -> optax.GradientTransformation:
+    def adamw(lr):
+        return optax.adamw(lr, eps=cfg.adam_eps,
+                           weight_decay=cfg.weight_decay)
+
+    return optax.multi_transform(
+        {"feat": adamw(cfg.lr), "mlp": adamw(cfg.lr_mlp_base)},
+        param_labels={
+            "geo_feat": "feat", "color_feat": "feat",
+            "sdf": "mlp", "color": "mlp",
+        },
+    )
+
+
+def sdf_params(m: npm.NeuralPointMap, decoders) -> Dict:
+    return {
+        "geo_feat": m.geo_feat,
+        "color_feat": m.color_feat,
+        "sdf": decoders["sdf"],
+        "color": decoders["color"],
+    }
+
+
+def apply_sdf_params(m, decoders, params) -> Tuple[npm.NeuralPointMap, Dict]:
+    m = m.replace(geo_feat=params["geo_feat"],
+                  color_feat=params["color_feat"])
+    decoders = {**decoders, "sdf": params["sdf"], "color": params["color"]}
+    return m, decoders
+
+
+class SdfStepMetrics(NamedTuple):
+    total: jnp.ndarray
+    bce: jnp.ndarray
+    eikonal: jnp.ndarray
+    color: jnp.ndarray
+
+
+def make_sdf_step(cfg, optimizer: optax.GradientTransformation):
+    """Build the jitted SDF training step.
+
+    step(params, opt_state, batch, static_map, decoders, freeze) ->
+        (params, opt_state, metrics)
+
+    ``static_map`` supplies non-trainable map state (positions/hash/masks);
+    trainable features live in ``params``. ``freeze`` (traced bool) zeroes
+    decoder grads after cfg.freeze_after_frame (reference freeze_decoders,
+    mapper.py:470-476)."""
+    k = cfg.query_nn_k
+    stencil_r = cfg.num_nei_cells
+    alpha = cfg.search_alpha
+    sigma_scale = cfg.logistic_gaussian_ratio * cfg.sigma_sigmoid_m
+    sigma = cfg.sigma_sigmoid_m
+    eik_n = max(cfg.bs // max(cfg.gradient_decimation, 1), 8)
+    grad_delta = cfg.voxel_size_m * cfg.num_grad_step_ratio
+    color_on = cfg.color_on
+    weight_e = cfg.weight_e
+    weight_c = cfg.weight_c
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch, static_map, decoders, freeze):
+        pts, sdf_label, color_label, weight, valid = batch
+
+        def loss_fn(p):
+            m, d = apply_sdf_params(static_map, decoders, p)
+            sdf, _, qvalid = field.sdf_at(m, d, pts, sigma_scale, k,
+                                          stencil_r, alpha)
+            v = (valid & qvalid).astype(jnp.float32)
+            bce = losses.sdf_bce_loss(sdf, sdf_label, weight, sigma, v)
+
+            # eikonal on the first eik_n points (batch is already shuffled);
+            # numerical central differences (reference numerical_grad path,
+            # mapper.py:918-939)
+            g = field.sdf_grad_numerical(m, d, pts[:eik_n], sigma_scale,
+                                         grad_delta, k, stencil_r, alpha)
+            eik = losses.eikonal_loss(g, v[:eik_n])
+
+            if color_on:
+                cpred, cvalid = field.color_at(m, d, pts, k, stencil_r, alpha)
+                cmask = v * cvalid * (jnp.abs(sdf_label) < 2.0 * sigma)
+                closs = losses.color_l1_loss(cpred, color_label, cmask)
+            else:
+                closs = jnp.float32(0.0)
+
+            total = bce + weight_e * eik + weight_c * closs
+            return total, SdfStepMetrics(total, bce, eik, closs)
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
+        zero_mlp = lambda g: jax.tree.map(
+            lambda x: jnp.where(freeze, jnp.zeros_like(x), x), g)
+        grads = {**grads, "sdf": zero_mlp(grads["sdf"]),
+                 "color": zero_mlp(grads["color"])}
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return step
+
+
+def init_sdf_train(m: npm.NeuralPointMap, decoders, cfg):
+    opt = make_sdf_optimizer(cfg)
+    params = sdf_params(m, decoders)
+    return opt, params, opt.init(params)

@@ -1,0 +1,95 @@
+"""Neural field evaluation: SDF / color / semantics at arbitrary points.
+
+Combines neural-point feature queries with the decoder MLPs in the PIN-SLAM
+scheme used by the reference: decode *per neighbor* (feature + relative
+offset), then blend the K predictions with the query's IDW weights
+(reference: mapper.py:879-906 query → decoder.sdf, tracker.py:298-320).
+
+Gradient options mirror the reference (utils/mapper.py:2319-2369):
+- analytical: jax.grad through the query+decode (autodiff),
+- numerical: central differences with a 6-point stencil.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pings_tpu.models import decoder as dec
+from pings_tpu.models import neural_points as npm
+
+
+def sdf_at(
+    m: npm.NeuralPointMap,
+    decoders,
+    pts: jnp.ndarray,
+    sigma_scale: float,
+    k: int = 6,
+    stencil_r: int = 1,
+    search_alpha: float = 0.2,
+    use_local_mask: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """SDF value at points. Returns (sdf (N,), sdf_std (N,), valid (N,)).
+
+    sdf_std is the IDW-weighted std of per-neighbor predictions — the
+    tracker uses it as a reliability gate (tracker.py:394-517).
+    """
+    q = npm.query_feature(m, pts, k=k, stencil_r=stencil_r,
+                          search_alpha=search_alpha,
+                          use_local_mask=use_local_mask)
+    per_nb = dec.mlp_forward(decoders["sdf"], q.feat)[..., 0] * sigma_scale
+    sdf = jnp.sum(per_nb * q.weights, axis=-1)
+    var = jnp.sum(q.weights * (per_nb - sdf[..., None]) ** 2, axis=-1)
+    return sdf, jnp.sqrt(jnp.maximum(var, 0.0)), q.valid
+
+
+def color_at(m, decoders, pts, k=6, stencil_r=1, search_alpha=0.2,
+             use_local_mask=False):
+    q = npm.query_feature(m, pts, k=k, stencil_r=stencil_r,
+                          search_alpha=search_alpha,
+                          use_local_mask=use_local_mask)
+    per_nb = jax.nn.sigmoid(dec.mlp_forward(decoders["color"], q.color_feat))
+    return jnp.sum(per_nb * q.weights[..., None], axis=-2), q.valid
+
+
+def sem_at(m, decoders, pts, k=6, stencil_r=1, search_alpha=0.2):
+    q = npm.query_feature(m, pts, k=k, stencil_r=stencil_r,
+                          search_alpha=search_alpha)
+    logits = dec.mlp_forward(decoders["sem"], q.feat)
+    blended = jnp.sum(logits * q.weights[..., None], axis=-2)
+    return jax.nn.log_softmax(blended, axis=-1), q.valid
+
+
+def sdf_grad_numerical(
+    m, decoders, pts, sigma_scale, delta: float,
+    k=6, stencil_r=1, search_alpha=0.2, use_local_mask=False,
+) -> jnp.ndarray:
+    """Central-difference SDF gradient (reference get_numerical_gradient,
+    mapper.py:2319-2369). 6 extra queries per point."""
+    offs = jnp.concatenate([jnp.eye(3), -jnp.eye(3)], axis=0) * delta  # (6,3)
+    shifted = pts[:, None, :] + offs[None, :, :]
+    flat = shifted.reshape(-1, 3)
+    s, _, _ = sdf_at(m, decoders, flat, sigma_scale, k, stencil_r,
+                     search_alpha, use_local_mask)
+    s = s.reshape(pts.shape[0], 6)
+    return (s[:, :3] - s[:, 3:]) / (2.0 * delta)
+
+
+def sdf_grad_analytical(
+    m, decoders, pts, sigma_scale,
+    k=6, stencil_r=1, search_alpha=0.2, use_local_mask=False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(sdf, grad, sdf_std, valid) via autodiff w.r.t. query position
+    (reference: tools.py:409-420 get_gradient). One vjp per point, batched."""
+
+    def f(p):
+        s, std, v = sdf_at(m, decoders, p[None, :], sigma_scale, k,
+                           stencil_r, search_alpha, use_local_mask)
+        return s[0], (s[0], std[0], v[0])
+
+    grad_fn = jax.vmap(jax.grad(f, has_aux=True))
+    g, (s, std, v) = grad_fn(pts)
+    return s, g, std, v

@@ -254,7 +254,9 @@ class QueryResult(NamedTuple):
     valid: jnp.ndarray     # (N,) has >= 1 neighbor
 
 
-@functools.partial(jax.jit, static_argnames=("k", "stencil_r", "use_local_mask"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "stencil_r", "search_alpha", "use_local_mask"))
 def query_feature(
     m: NeuralPointMap,
     qpts: jnp.ndarray,          # (N, 3)

@@ -1,0 +1,143 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pings_tpu.config import Config
+from pings_tpu.mapping import pool as rp
+from pings_tpu.mapping.sampler import sample_rays
+from pings_tpu.mapping import sdf_mapper
+from pings_tpu.models import decoder as dec
+from pings_tpu.models import field
+from pings_tpu.models import neural_points as npm
+
+
+def sphere_scan(rng, n, origin, center, radius):
+    # aim rays at the sphere: perturb the center direction within the
+    # subtended cone so most rays hit
+    to_c = center - origin
+    dist = np.linalg.norm(to_c)
+    half = np.arcsin(min(radius / dist, 1.0))
+    dirs = to_c / dist + rng.normal(size=(n, 3)) * np.tan(half) * 0.7
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    oc = origin - center
+    b = dirs @ oc
+    c = oc @ oc - radius**2
+    disc = b * b - c
+    t = -b - np.sqrt(np.maximum(disc, 0))
+    hit = (disc > 0) & (t > 0.1)
+    return (origin + dirs * t[:, None]).astype(np.float32), hit
+
+
+class TestSampler:
+    def test_labels_and_structure(self, rng):
+        n = 64
+        ep = rng.normal(size=(n, 3)).astype(np.float32) + 10
+        s = sample_rays(
+            jax.random.PRNGKey(0), jnp.asarray(ep), jnp.zeros((n, 3)),
+            jnp.ones(n, bool), jnp.zeros(3),
+            surface_sample_n=3, free_front_n=2, free_behind_n=1,
+        )
+        S = 1 + 3 + 2 + 1
+        assert s.points.shape == (n * S, 3)
+        lab = np.array(s.sdf_label).reshape(n, S)
+        free = np.array(s.is_free).reshape(n, S)
+        # endpoint label exactly 0
+        np.testing.assert_allclose(lab[:, 0], 0.0, atol=1e-6)
+        # surface jitter within a few sigma
+        assert np.all(np.abs(lab[:, 1:4]) < 0.25 * 5)
+        # front freespace: positive labels (outside), behind: negative
+        assert np.all(lab[:, 4:6] > 0)
+        assert np.all(lab[:, 6] < 0)
+        assert not free[:, :4].any() and free[:, 4:].all()
+        # sample positions consistent with labels: |origin - p| = depth - label
+        depth = np.linalg.norm(ep, axis=-1)
+        d_sample = np.linalg.norm(np.array(s.points).reshape(n, S, 3), axis=-1)
+        np.testing.assert_allclose(d_sample, depth[:, None] - lab, atol=1e-4)
+
+
+class TestPool:
+    def test_insert_and_batch(self, rng):
+        pool = rp.init_pool(1024)
+        ep = (rng.normal(size=(32, 3)) + 5).astype(np.float32)
+        s = sample_rays(jax.random.PRNGKey(0), jnp.asarray(ep),
+                        jnp.zeros((32, 3)), jnp.ones(32, bool), jnp.zeros(3))
+        pool = rp.pool_insert(pool, s, jnp.int32(0), jax.random.PRNGKey(1))
+        assert int(pool.count) == 32 * 7
+        pts, sdf, col, w, valid = rp.pool_batch(pool, jax.random.PRNGKey(2),
+                                                128, 32)
+        assert pts.shape == (128, 3) and bool(valid.all())
+
+    def test_eviction_keeps_capacity(self, rng):
+        pool = rp.init_pool(256)
+        for i in range(4):
+            ep = (rng.normal(size=(32, 3)) + 5).astype(np.float32)
+            s = sample_rays(jax.random.PRNGKey(i), jnp.asarray(ep),
+                            jnp.zeros((32, 3)), jnp.ones(32, bool),
+                            jnp.zeros(3))
+            pool = rp.pool_insert(pool, s, jnp.int32(i),
+                                  jax.random.PRNGKey(10 + i))
+        assert int(pool.count) == 256
+
+
+class TestSdfConvergence:
+    def test_sphere_sdf_trains(self, rng):
+        cfg = Config.load(overrides=dict(
+            max_points=16384, buffer_size=1 << 16, voxel_size_m=0.3,
+            feature_dim=8, color_feature_dim=8, bs=1024,
+            geo_mlp_hidden_dim=32, color_mlp_hidden_dim=32,
+            pool_capacity=1 << 15, lr=0.02, lr_mlp_base=2e-3,
+        ))
+        center = np.array([0.0, 0, 0])
+        origin = np.array([8.0, 0, 0])
+        m = npm.init_map(cfg)
+        decoders = dec.init_decoders(jax.random.PRNGKey(0), cfg)
+        pool = rp.init_pool(cfg.pool_capacity)
+
+        # one dense scan from +x
+        ep, hit = sphere_scan(rng, 4096, origin, center, 2.0)
+        s = sample_rays(jax.random.PRNGKey(1), jnp.asarray(ep),
+                        jnp.full((4096, 3), 0.5), jnp.asarray(hit),
+                        jnp.asarray(origin, jnp.float32),
+                        surface_sample_range_m=0.25)
+        pool = rp.pool_insert(pool, s, jnp.int32(0), jax.random.PRNGKey(2))
+        m = npm.insert_points(
+            m, jnp.asarray(ep), jnp.full((4096, 3), 0.5), jnp.asarray(hit),
+            jnp.tile(jnp.array([1.0, 0, 0, 0]), (4096, 1)), jnp.int32(0),
+            jnp.zeros(16), jnp.float32(1e9))
+        assert int(m.count) > 100
+
+        opt, params, opt_state = sdf_mapper.init_sdf_train(m, decoders, cfg)
+        step = sdf_mapper.make_sdf_step(cfg, opt)
+        first = None
+        for i in range(250):
+            batch = rp.pool_batch(pool, jax.random.PRNGKey(100 + i),
+                                  cfg.bs, 256)
+            params, opt_state, metrics = step(
+                params, opt_state, batch, m, decoders, jnp.asarray(False))
+            if first is None:
+                first = float(metrics.bce)
+        last = float(metrics.bce)
+        # BCE has an entropy floor (~0.5 for these soft targets); check a
+        # solid drop toward it, not convergence to zero
+        assert last < first - 0.1, (first, last)
+
+        m, decoders = sdf_mapper.apply_sdf_params(m, decoders, params)
+        sig = cfg.logistic_gaussian_ratio * cfg.sigma_sigmoid_m
+        # SDF sign/magnitude on the visible (+x) side of the sphere
+        probes = jnp.array([
+            [2.0, 0, 0],    # on surface
+            [2.2, 0, 0],    # outside (toward sensor) -> positive
+            [1.8, 0, 0],    # inside -> negative
+        ])
+        sdf, _, valid = field.sdf_at(m, decoders, probes, sig,
+                                     k=cfg.query_nn_k)
+        assert bool(valid.all())
+        s0, s_out, s_in = (float(x) for x in sdf)
+        assert abs(s0) < 0.1, s0
+        assert s_out > 0.04, s_out
+        assert s_in < -0.04, s_in
+        # color head learned the constant 0.5 color near the surface
+        cpred, cvalid = field.color_at(m, decoders, probes[:1])
+        assert bool(cvalid[0])
+        np.testing.assert_allclose(np.array(cpred[0]), 0.5, atol=0.15)
