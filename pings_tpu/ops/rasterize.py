@@ -1,0 +1,402 @@
+"""Tile-based differentiable Gaussian rasterizer (3DGS + surfel modes).
+
+TPU-native replacement for the reference CUDA submodules
+``diff-gaussian-rasterization-w-pose`` and
+``diff-gaussian-surfel-rasterization-w-pose`` (SURVEY.md §2.1; call sites
+gaussian_splatting/gaussian_renderer/__init__.py:147-199, :313-423). Outputs
+per camera: rgb (3,H,W-equivalent layout (H,W,3) here), normal, depth,
+alpha, per-Gaussian radii and blend contributions — with gradients w.r.t.
+all Gaussian parameters **and** a camera pose delta (theta, rho), matching
+the reference's pose-gradient rasterizers.
+
+Architecture (XLA/static-shape first):
+
+1. ``project_gaussians`` — EWA splatting projection (3DGS math): cam-space
+   transform (differentiable through an se3 delta at identity -> pose
+   gradients come from autodiff, no hand-written Jacobians), perspective
+   Jacobian, cov2d = J W Σ Wᵀ Jᵀ + 0.3·I low-pass, conic + radius.
+2. ``bin_gaussians`` — sort-based tile binning: each Gaussian emits up to
+   ``max_span`` (tile, depth) pairs, one global lexicographic sort by
+   (tile, depth), per-tile ranges by searchsorted, gathered into a static
+   (num_tiles, max_per_tile) index table. Overflow beyond caps is counted
+   and reported, never silently reordered.
+3. ``blend_tiles`` — front-to-back alpha blending over the static table,
+   chunk-scanned so the working set stays small; remat keeps the backward
+   memory bounded. (A Pallas fused kernel with the back-to-front backward
+   re-blend replaces this on the perf path; this is the portable version
+   and the arbiter for it.)
+
+Conventions: pixel (ix, iy) samples at (ix + 0.5, iy + 0.5); camera looks
+along +z; intrinsics K = [[fx,0,cx],[0,fy,cy],[0,0,1]].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pings_tpu.ops.transforms import quat_to_rotmat, se3_exp
+
+LOWPASS = 0.3
+
+
+class ProjectedGaussians(NamedTuple):
+    means2d: jnp.ndarray   # (N, 2) pixel coords
+    conic: jnp.ndarray     # (N, 3) upper-triangular inverse cov (a, b, c)
+    depth: jnp.ndarray     # (N,)
+    radius: jnp.ndarray    # (N,) pixel radius (0 = culled)
+    color: jnp.ndarray     # (N, 3)
+    opacity: jnp.ndarray   # (N,)
+    normal: jnp.ndarray    # (N, 3) cam-space unit normal (surfel mode)
+    valid: jnp.ndarray     # (N,)
+
+
+def apply_pose_delta(T_c_w: jnp.ndarray, theta: jnp.ndarray,
+                     rho: jnp.ndarray) -> jnp.ndarray:
+    """Left-multiply an se3 retraction exp([rho, theta]) onto T_c_w.
+
+    Pose gradients d(render)/d(theta,rho) at (0,0) match the reference's
+    rasterizer pose gradients (its theta/rho inputs,
+    gaussian_renderer/__init__.py:318-347)."""
+    delta = se3_exp(jnp.concatenate([rho, theta]))
+    return delta @ T_c_w
+
+
+def project_gaussians(
+    means3d: jnp.ndarray,     # (N, 3) world
+    quats: jnp.ndarray,       # (N, 4) wxyz
+    scales: jnp.ndarray,      # (N, 3)
+    opacities: jnp.ndarray,   # (N,)
+    colors: jnp.ndarray,      # (N, 3)
+    valid: jnp.ndarray,       # (N,)
+    T_c_w: jnp.ndarray,       # (4, 4)
+    K: jnp.ndarray,           # (3, 3)
+    width: int,
+    height: int,
+    near: float = 0.01,
+    far: float = 1e4,
+) -> ProjectedGaussians:
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    R_cw = T_c_w[:3, :3]
+    t_cam = means3d @ R_cw.T + T_c_w[:3, 3]
+    tz = t_cam[:, 2]
+    tz_safe = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
+
+    u = fx * t_cam[:, 0] / tz_safe + cx
+    v = fy * t_cam[:, 1] / tz_safe + cy
+    means2d = jnp.stack([u, v], axis=-1)
+
+    # 3D covariance
+    Rg = quat_to_rotmat(quats)                        # (N, 3, 3)
+    S = scales[..., None, :] * jnp.eye(3)             # (N, 3, 3) diag
+    M = Rg @ S
+    cov3d = M @ M.mT                                  # (N, 3, 3)
+
+    # EWA: J (2x3) perspective Jacobian with the 3DGS frustum clamp
+    lim_x = 1.3 * (width / (2.0 * fx))
+    lim_y = 1.3 * (height / (2.0 * fy))
+    txz = jnp.clip(t_cam[:, 0] / tz_safe, -lim_x, lim_x) * tz_safe
+    tyz = jnp.clip(t_cam[:, 1] / tz_safe, -lim_y, lim_y) * tz_safe
+    z2 = tz_safe * tz_safe
+    zeros = jnp.zeros_like(tz)
+    J = jnp.stack([
+        fx / tz_safe, zeros, -fx * txz / z2,
+        zeros, fy / tz_safe, -fy * tyz / z2,
+    ], axis=-1).reshape(-1, 2, 3)
+    W = jnp.broadcast_to(R_cw, (means3d.shape[0], 3, 3))
+    cov2d = J @ W @ cov3d @ W.mT @ J.mT               # (N, 2, 2)
+    a = cov2d[:, 0, 0] + LOWPASS
+    b = cov2d[:, 0, 1]
+    c = cov2d[:, 1, 1] + LOWPASS
+    det = a * c - b * b
+    det_safe = jnp.maximum(det, 1e-12)
+    conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], axis=-1)
+
+    # radius: 3 sigma of the larger eigenvalue
+    mid = 0.5 * (a + c)
+    lam = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
+    radius = 3.0 * jnp.sqrt(jnp.maximum(lam, 0.0))
+
+    in_front = (tz > near) & (tz < far)
+    on_screen = (
+        (u + radius > 0) & (u - radius < width)
+        & (v + radius > 0) & (v - radius < height)
+    )
+    ok = valid & in_front & on_screen & (det > 0) & (opacities > 1.0 / 255.0)
+    radius = jnp.where(ok, radius, 0.0)
+
+    # surfel normal: rotated z column, flipped toward the camera
+    n_world = Rg[:, :, 2]
+    n_cam = n_world @ R_cw.T
+    flip = jnp.where(n_cam[:, 2:3] > 0, -1.0, 1.0)
+    n_cam = n_cam * flip
+
+    return ProjectedGaussians(
+        means2d=means2d, conic=conic, depth=tz, radius=radius,
+        color=colors, opacity=opacities, normal=n_cam, valid=ok,
+    )
+
+
+def mark_visible(means3d: jnp.ndarray, T_c_w: jnp.ndarray, K: jnp.ndarray,
+                 width: int, height: int, near: float = 0.01,
+                 far: float = 1e4, margin: float = 0.15) -> jnp.ndarray:
+    """Frustum visibility test (reference rasterizer.markVisible,
+    gaussian_renderer/__init__.py:215). margin expands the frustum so
+    gaussians spawned slightly off-screen still render."""
+    t = means3d @ T_c_w[:3, :3].T + T_c_w[:3, 3]
+    z = jnp.maximum(t[:, 2], 1e-6)
+    u = K[0, 0] * t[:, 0] / z + K[0, 2]
+    v = K[1, 1] * t[:, 1] / z + K[1, 2]
+    mw, mh = margin * width, margin * height
+    return (
+        (t[:, 2] > near) & (t[:, 2] < far)
+        & (u > -mw) & (u < width + mw) & (v > -mh) & (v < height + mh)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binning
+# ---------------------------------------------------------------------------
+
+class TileBins(NamedTuple):
+    gauss_idx: jnp.ndarray   # (T, Kmax) int32 indices into the gaussian arrays
+    mask: jnp.ndarray        # (T, Kmax) bool
+    n_overflow: jnp.ndarray  # () i32 — pairs dropped by either cap
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "tile",
+                                             "max_span", "max_per_tile"))
+def bin_gaussians(
+    p: ProjectedGaussians,
+    width: int, height: int,
+    tile: int = 16,
+    max_span: int = 64,
+    max_per_tile: int = 512,
+) -> TileBins:
+    """Assign gaussians to image tiles, depth-sorted per tile.
+
+    Each gaussian covers tiles [tx0, tx1) x [ty0, ty1) from its pixel
+    radius; the span is row-major enumerated up to ``max_span`` pairs.
+    One global lexicographic sort by (tile_id, depth) then yields
+    contiguous per-tile, front-to-back runs."""
+    ntx = (width + tile - 1) // tile
+    nty = (height + tile - 1) // tile
+    T = ntx * nty
+    n = p.means2d.shape[0]
+
+    # clamp the radius so the tile footprint fits max_span as a *centered*
+    # square — an oversized gaussian degrades to symmetric truncation
+    # instead of a row-major-clipped rectangle
+    side = int(np.floor(np.sqrt(max_span)))
+    # a footprint of 2*r_cap pixels can straddle at most `side` tile rows
+    r_cap = ((side - 1) * tile) / 2.0
+    r_raw = p.radius
+    r = jnp.minimum(r_raw, r_cap)
+    span_overflow = jnp.sum((p.valid & (r_raw > r_cap)).astype(jnp.int32))
+
+    tx0 = jnp.clip(((p.means2d[:, 0] - r) / tile).astype(jnp.int32), 0, ntx - 1)
+    tx1 = jnp.clip(((p.means2d[:, 0] + r) / tile).astype(jnp.int32), 0, ntx - 1)
+    ty0 = jnp.clip(((p.means2d[:, 1] - r) / tile).astype(jnp.int32), 0, nty - 1)
+    ty1 = jnp.clip(((p.means2d[:, 1] + r) / tile).astype(jnp.int32), 0, nty - 1)
+    sx = tx1 - tx0 + 1
+    sy = ty1 - ty0 + 1
+    span = sx * sy
+
+    # enumerate up to max_span covered tiles per gaussian (row-major)
+    e = jnp.arange(max_span, dtype=jnp.int32)
+    ex = e[None, :] % jnp.maximum(sx, 1)[:, None]
+    ey = e[None, :] // jnp.maximum(sx, 1)[:, None]
+    pair_tile = (ty0[:, None] + ey) * ntx + (tx0[:, None] + ex)   # (N, S)
+    pair_ok = p.valid[:, None] & (e[None, :] < span[:, None])
+    pair_tile = jnp.where(pair_ok, pair_tile, T)                  # T = dump
+    pair_depth = jnp.broadcast_to(p.depth[:, None], (n, max_span))
+    pair_gid = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, max_span))
+
+    tile_flat = pair_tile.reshape(-1)
+    depth_flat = pair_depth.reshape(-1)
+    gid_flat = pair_gid.reshape(-1)
+    tile_s, depth_s, gid_s = jax.lax.sort(
+        (tile_flat, depth_flat, gid_flat), num_keys=2)
+
+    # per-tile ranges
+    starts = jnp.searchsorted(tile_s, jnp.arange(T, dtype=jnp.int32),
+                              side="left")
+    ends = jnp.searchsorted(tile_s, jnp.arange(T, dtype=jnp.int32),
+                            side="right")
+    counts = ends - starts
+    tile_overflow = jnp.sum(jnp.maximum(counts - max_per_tile, 0))
+
+    k = jnp.arange(max_per_tile, dtype=jnp.int32)
+    gather = starts[:, None] + k[None, :]                          # (T, Kmax)
+    mask = k[None, :] < jnp.minimum(counts, max_per_tile)[:, None]
+    gather = jnp.clip(gather, 0, tile_s.shape[0] - 1)
+    gidx = gid_s[gather]
+    return TileBins(gauss_idx=gidx, mask=mask,
+                    n_overflow=span_overflow + tile_overflow)
+
+
+# ---------------------------------------------------------------------------
+# Blending
+# ---------------------------------------------------------------------------
+
+class RenderOutput(NamedTuple):
+    rgb: jnp.ndarray       # (H, W, 3)
+    depth: jnp.ndarray     # (H, W)
+    alpha: jnp.ndarray     # (H, W)
+    normal: jnp.ndarray    # (H, W, 3)
+    contrib: jnp.ndarray   # (N,) summed blend weight per gaussian
+    n_overflow: jnp.ndarray
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile", "chunk", "normalize_depth",
+                     "cutoff_q", "alpha_floor"))
+def blend_tiles(
+    p: ProjectedGaussians,
+    bins: TileBins,
+    bg: jnp.ndarray,          # (3,)
+    width: int, height: int,
+    tile: int = 16,
+    chunk: int = 32,
+    normalize_depth: bool = True,
+    cutoff_q: float = 9.0,
+    alpha_floor: float = 1.0 / 255.0,
+) -> RenderOutput:
+    """Front-to-back alpha blending over the per-tile tables.
+
+    Scanned in chunks of ``chunk`` gaussians: carry = (T, P) transmittance
+    + accumulated rgb/depth/normal/alpha; each chunk computes its alphas,
+    does an in-chunk exclusive cumprod, multiplies by the carried
+    transmittance. Rematerialized for bounded backward memory."""
+    ntx = (width + tile - 1) // tile
+    nty = (height + tile - 1) // tile
+    T = ntx * nty
+    P = tile * tile
+    Kmax = bins.gauss_idx.shape[1]
+    n = p.means2d.shape[0]
+
+    # pixel centers per tile: (T, P, 2)
+    tx = (jnp.arange(T, dtype=jnp.int32) % ntx) * tile
+    ty = (jnp.arange(T, dtype=jnp.int32) // ntx) * tile
+    pxi = jnp.arange(tile)
+    px = (tx[:, None, None] + pxi[None, None, :] + 0.5)   # (T, 1, tile)
+    py = (ty[:, None, None] + pxi[None, :, None] + 0.5)   # (T, tile, 1)
+    px = jnp.broadcast_to(px, (T, tile, tile)).reshape(T, P)
+    py = jnp.broadcast_to(py, (T, tile, tile)).reshape(T, P)
+
+    nchunks = Kmax // chunk
+    assert nchunks * chunk == Kmax, "max_per_tile must be divisible by chunk"
+    gidx_c = bins.gauss_idx.reshape(T, nchunks, chunk)
+    mask_c = bins.mask.reshape(T, nchunks, chunk)
+
+    def body(carry, xs):
+        trans, acc_rgb, acc_d, acc_n, acc_a, contrib = carry
+        gi, gm = xs                                   # (T, chunk)
+        mu = p.means2d[gi]                            # (T, chunk, 2)
+        con = p.conic[gi]
+        op = p.opacity[gi]
+        col = p.color[gi]
+        dep = p.depth[gi]
+        nor = p.normal[gi]
+
+        dx = px[:, None, :] - mu[..., 0:1]            # (T, chunk, P)
+        dy = py[:, None, :] - mu[..., 1:2]
+        q = (con[..., 0:1] * dx * dx + con[..., 2:3] * dy * dy
+             + 2.0 * con[..., 1:2] * dx * dy)
+        alpha = op[..., None] * jnp.exp(-0.5 * q)
+        # 3-sigma ellipse cutoff (consistent with the binning radius) +
+        # the 3DGS 1/255 contribution floor; both configurable so gradient
+        # tests can use a smooth regime (the cutoffs are the only
+        # discontinuities vs finite differences)
+        alpha = jnp.where(
+            gm[..., None] & (q < cutoff_q) & (alpha >= alpha_floor),
+            alpha, 0.0)
+        alpha = jnp.minimum(alpha, 0.999)
+
+        one_m = 1.0 - alpha                           # (T, chunk, P)
+        # exclusive cumprod along chunk
+        cp = jnp.cumprod(one_m, axis=1)
+        excl = jnp.concatenate(
+            [jnp.ones_like(cp[:, :1]), cp[:, :-1]], axis=1)
+        w = alpha * excl * trans[:, None, :]          # blend weights
+        acc_rgb = acc_rgb + jnp.einsum("tkp,tkc->tpc", w, col)
+        acc_n = acc_n + jnp.einsum("tkp,tkc->tpc", w, nor)
+        acc_d = acc_d + jnp.sum(w * dep[..., None], axis=1)
+        acc_a = acc_a + jnp.sum(w, axis=1)
+        contrib = contrib.at[gi.reshape(-1)].add(
+            jnp.sum(w, axis=-1).reshape(-1), mode="drop")
+        trans = trans * cp[:, -1, :]
+        return (trans, acc_rgb, acc_d, acc_n, acc_a, contrib), None
+
+    init = (
+        jnp.ones((T, P)),
+        jnp.zeros((T, P, 3)),
+        jnp.zeros((T, P)),
+        jnp.zeros((T, P, 3)),
+        jnp.zeros((T, P)),
+        jnp.zeros((n,)),
+    )
+    xs = (jnp.moveaxis(gidx_c, 1, 0), jnp.moveaxis(mask_c, 1, 0))
+    (trans, rgb, d, nrm, a, contrib), _ = jax.lax.scan(
+        jax.checkpoint(body), init, xs)
+
+    rgb = rgb + trans[..., None] * bg
+    if normalize_depth:
+        d = d / jnp.maximum(a, 1e-6)
+
+    def untile(x):
+        # (T, P, ...) -> (H, W, ...)
+        x = x.reshape(nty, ntx, tile, tile, -1)
+        x = jnp.moveaxis(x, 2, 1).reshape(nty * tile, ntx * tile, -1)
+        return x[:height, :width]
+
+    return RenderOutput(
+        rgb=untile(rgb),
+        depth=untile(d)[..., 0],
+        alpha=untile(a)[..., 0],
+        normal=untile(nrm),
+        contrib=contrib,
+        n_overflow=bins.n_overflow,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-level API
+# ---------------------------------------------------------------------------
+
+def rasterize(
+    means3d, quats, scales, opacities, colors, valid,
+    T_c_w, K, width: int, height: int,
+    theta=None, rho=None,
+    bg=None,
+    tile: int = 16, max_span: int = 64, max_per_tile: int = 512,
+    chunk: int = 32, normalize_depth: bool = True,
+    cutoff_q: float = 9.0, alpha_floor: float = 1.0 / 255.0,
+) -> RenderOutput:
+    """Full differentiable rasterization: project -> bin -> blend.
+
+    ``theta``/``rho`` are camera rotation/translation deltas applied as an
+    se3 retraction; pass zeros and differentiate w.r.t. them for pose
+    gradients (reference rasterizer theta/rho inputs). Binning (sort order,
+    tile assignment) is treated as non-differentiable structure: gradients
+    flow through projection and blending only — same stop-gradient
+    structure as the CUDA reference, which also fixes the sort in backward.
+    """
+    if theta is not None:
+        T_c_w = apply_pose_delta(T_c_w, theta, rho)
+    if bg is None:
+        bg = jnp.zeros(3)
+    p = project_gaussians(means3d, quats, scales, opacities, colors, valid,
+                          T_c_w, K, width, height)
+    p_struct = jax.tree.map(jax.lax.stop_gradient, p)
+    bins = bin_gaussians(p_struct, width, height, tile=tile,
+                         max_span=max_span, max_per_tile=max_per_tile)
+    return blend_tiles(p, bins, bg, width, height, tile=tile, chunk=chunk,
+                       normalize_depth=normalize_depth, cutoff_q=cutoff_q,
+                       alpha_floor=alpha_floor)

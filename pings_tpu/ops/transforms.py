@@ -145,12 +145,17 @@ def transform_points(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_exp(w: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    """Rodrigues: axis-angle (..., 3) -> rotation matrix (..., 3, 3)."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
-    small = theta < eps
-    safe = jnp.where(small, 1.0, theta)
-    a = jnp.where(small, 1.0 - theta ** 2 / 6.0, jnp.sin(theta) / safe)
-    b = jnp.where(small, 0.5 - theta ** 2 / 24.0, (1 - jnp.cos(theta)) / safe ** 2)
+    """Rodrigues: axis-angle (..., 3) -> rotation matrix (..., 3, 3).
+
+    Differentiable at w = 0: branches take sqrt only of values bounded away
+    from zero (the naive ``where(small, series, sin(norm)/norm)`` still
+    propagates NaN through the untaken branch's sqrt gradient)."""
+    t2 = jnp.sum(w * w, axis=-1, keepdims=True)
+    small = t2 < eps
+    t2_safe = jnp.where(small, 1.0, t2)
+    theta = jnp.sqrt(t2_safe)
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - t2 / 24.0, (1 - jnp.cos(theta)) / t2_safe)
     K = skew(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
     return eye + a[..., None] * K + b[..., None] * (K @ K)
@@ -169,16 +174,18 @@ def se3_exp(xi: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
 
     Matches the retraction used by the reference tracker
     (utils/tracker.py:659-660 expmap on [translation, rotation]).
+    Differentiable at xi = 0 (see so3_exp).
     """
     rho, phi = xi[..., :3], xi[..., 3:]
-    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)
-    small = theta < eps
-    safe = jnp.where(small, 1.0, theta)
+    t2 = jnp.sum(phi * phi, axis=-1, keepdims=True)
+    small = t2 < eps
+    t2_safe = jnp.where(small, 1.0, t2)
+    theta = jnp.sqrt(t2_safe)
     R = so3_exp(phi)
     K = skew(phi)
-    a = jnp.where(small, 0.5 - theta ** 2 / 24.0, (1 - jnp.cos(theta)) / safe ** 2)
-    b = jnp.where(small, 1.0 / 6.0 - theta ** 2 / 120.0,
-                  (theta - jnp.sin(theta)) / safe ** 3)
+    a = jnp.where(small, 0.5 - t2 / 24.0, (1 - jnp.cos(theta)) / t2_safe)
+    b = jnp.where(small, 1.0 / 6.0 - t2 / 120.0,
+                  (theta - jnp.sin(theta)) / (t2_safe * theta))
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), R.shape)
     V = eye + a[..., None] * K + b[..., None] * (K @ K)
     t = (V @ rho[..., None])[..., 0]
