@@ -1,0 +1,262 @@
+"""Joint Gaussian-splatting + SDF mapping step.
+
+Reference: Mapper.joint_gsdf_mapping (utils/mapper.py:995-1634). Per
+iteration: pick a keyframe camera from the pool -> render -> photometric
+(L1 + SSIM), depth, normal–D2N consistency, sky, opacity-entropy,
+isotropic losses -> Gaussian–SDF consistency (visible high-alpha Gaussians
+must sit on the SDF zero level set with gradients parallel to their
+normals, and Gaussians stranded in |SDF|-large regions get their alpha
+suppressed, mapper.py:1379-1481) -> a concurrent SDF batch (BCE + eikonal
++ color, :1493-1544) -> one backward pass -> AdamW param groups
+(features / gaussian MLPs / geo MLPs / exposure / camera deltas,
+utils/tools.py:142-365) -> camera pose delta retraction (:1581-1590).
+
+TPU re-design: a single fused jitted step; the camera is chosen host-side
+(pool logic stays in mapping/campool.py), all losses share one backward.
+Trainables: global feature arrays (+ MLPs + per-keyframe exposure and pose
+deltas) — gradients reach features through the local-index gather.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pings_tpu.mapping import losses
+from pings_tpu.mapping.sdf_mapper import apply_sdf_params
+from pings_tpu.models import field
+from pings_tpu.models import neural_points as npm
+from pings_tpu.models.renderer import (
+    CamView, ExposureParams, apply_exposure, depth_to_normal, render,
+)
+from pings_tpu.models.spawn import LocalPointData, spawn_gaussians
+from pings_tpu.ops import rasterize as rz
+from pings_tpu.ops.ssim import dssim_loss
+
+
+class GsStepMetrics(NamedTuple):
+    total: jnp.ndarray
+    rgb_l1: jnp.ndarray
+    ssim: jnp.ndarray
+    depth_l1: jnp.ndarray
+    normal: jnp.ndarray
+    opacity_ent: jnp.ndarray
+    sky: jnp.ndarray
+    gs_sdf: jnp.ndarray
+    sdf_bce: jnp.ndarray
+    psnr: jnp.ndarray
+    n_overflow: jnp.ndarray
+
+
+def gs_param_labels() -> Dict[str, str]:
+    return {
+        "geo_feat": "feat", "color_feat": "feat",
+        "sdf": "geo_mlp", "color": "geo_mlp",
+        "gauss_xyz": "gs_mlp", "gauss_rot": "gs_mlp",
+        "gauss_scale": "gs_mlp", "gauss_alpha": "gs_mlp",
+        "gauss_color": "gs_mlp",
+        "exposure": "exposure",
+        "cam_delta": "cam_delta",
+    }
+
+
+def make_gs_optimizer(cfg) -> optax.GradientTransformation:
+    def adamw(lr):
+        return optax.adamw(lr, eps=cfg.adam_eps, weight_decay=cfg.weight_decay)
+
+    return optax.multi_transform(
+        {
+            "feat": adamw(cfg.lr),
+            "geo_mlp": adamw(cfg.lr_mlp_base),
+            "gs_mlp": adamw(cfg.lr_mlp_base),
+            "exposure": adamw(cfg.lr_exposure),
+            "cam_delta": adamw(cfg.lr_cam_dt),
+        },
+        param_labels=gs_param_labels(),
+    )
+
+
+def gs_params(m: npm.NeuralPointMap, decoders, exposure_pool,
+              cam_delta_pool) -> Dict:
+    p = {
+        "geo_feat": m.geo_feat, "color_feat": m.color_feat,
+        "sdf": decoders["sdf"], "color": decoders["color"],
+        "gauss_xyz": decoders["gauss_xyz"],
+        "gauss_rot": decoders["gauss_rot"],
+        "gauss_scale": decoders["gauss_scale"],
+        "gauss_alpha": decoders["gauss_alpha"],
+        "gauss_color": decoders["gauss_color"],
+        "exposure": exposure_pool,
+        "cam_delta": cam_delta_pool,
+    }
+    return p
+
+
+def apply_gs_params(m, decoders, params):
+    m = m.replace(geo_feat=params["geo_feat"],
+                  color_feat=params["color_feat"])
+    d = dict(decoders)
+    for k in ("sdf", "color", "gauss_xyz", "gauss_rot", "gauss_scale",
+              "gauss_alpha", "gauss_color"):
+        d[k] = params[k]
+    return m, d
+
+
+def make_gsdf_step(cfg, optimizer, width: int, height: int,
+                   local_size: int):
+    """Build the fused GS+SDF training step.
+
+    step(params, opt_state, static_map, decoders, local_idx, cam,
+         cam_slot, sdf_batch, freeze_geo) -> (params, opt_state, metrics)
+    """
+    spawn_kwargs = dict(
+        spawn_k=cfg.spawn_n_gaussian,
+        voxel_size=cfg.voxel_size_m,
+        displacement_range_ratio=cfg.displacement_range_ratio,
+        unit_scale_ratio=cfg.unit_scale_ratio,
+        max_scale_ratio=cfg.max_scale_ratio,
+        surfel_mode=(cfg.gs_type == "gaussian_surfel"),
+        dist_concat=cfg.dist_concat_on,
+        view_concat=cfg.view_concat_on,
+        color_residual=cfg.learn_color_residual,
+        max_range=cfg.max_range,
+    )
+    sigma_scale = cfg.logistic_gaussian_ratio * cfg.sigma_sigmoid_m
+    sigma = cfg.sigma_sigmoid_m
+    k = cfg.query_nn_k
+    stencil_r = cfg.num_nei_cells
+    alpha_s = cfg.search_alpha
+    bg = jnp.asarray(cfg.bg_color, jnp.float32)
+    S = cfg.gs_sdf_sample_count
+    grad_delta = cfg.voxel_size_m * cfg.num_grad_step_ratio
+    eik_n = max(cfg.bs // max(cfg.gradient_decimation, 1), 8)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1),
+                       static_argnames=("train_pose",))
+    def step(params, opt_state, static_map, decoders, local_idx, cam,
+             cam_slot, sdf_batch, freeze_geo, train_pose=False):
+
+        def loss_fn(p):
+            m, d = apply_gs_params(static_map, decoders, p)
+            local = LocalPointData(
+                positions=m.positions[local_idx],
+                quats=m.quats[local_idx],
+                geo_feat=m.geo_feat[local_idx],
+                color_feat=m.color_feat[local_idx],
+                rgb=m.rgb[local_idx],
+                valid=(local_idx < m.capacity) & m.valid_gs_mask[local_idx],
+            )
+            exposure = jax.tree.map(lambda x: x[cam_slot], p["exposure"])
+            delta = p["cam_delta"][cam_slot]
+            theta, rho = delta[:3], delta[3:]
+            if not train_pose:
+                theta = jax.lax.stop_gradient(theta)
+                rho = jax.lax.stop_gradient(rho)
+
+            res = render(
+                local, d, cam, width, height,
+                exposure=exposure,
+                affine_exposure=cfg.affine_exposure_correction,
+                theta=theta, rho=rho, bg=bg,
+                spawn_kwargs=spawn_kwargs,
+                tile=cfg.tile_size, max_per_tile=cfg.max_gs_per_tile,
+                chunk=32,
+            )
+
+            # photometric (mapper.py:1240-1246)
+            l1 = losses.l1_masked(res.rgb, cam.rgb)
+            ds = dssim_loss(res.rgb, cam.rgb)
+            photo = (1.0 - cfg.lambda_ssim) * l1 + cfg.lambda_ssim * ds
+
+            # depth (mapper.py:1252-1268)
+            dmask = (cam.depth > 1e-4) & (res.alpha > 0.5)
+            dl1 = losses.l1_masked(res.depth, cam.depth, dmask)
+
+            # normal–D2N consistency (mapper.py:1279-1295)
+            d2n, d2n_valid = depth_to_normal(res.depth, cam.K)
+            nmask = d2n_valid & (res.alpha > 0.5)
+            ncons = losses.normal_consistency_loss(res.normal, d2n, nmask)
+
+            # opacity entropy + sky (mapper.py:1297-1351)
+            oent = losses.opacity_entropy_loss(res.alpha)
+            sky_l = jax.lax.cond(
+                jnp.any(cam.sky > 0),
+                lambda: losses.sky_bce_loss(res.alpha, cam.sky),
+                lambda: jnp.float32(0.0),
+            ) if cfg.sky_on else jnp.float32(0.0)
+
+            # Gaussian–SDF consistency (mapper.py:1379-1481): take S spawned
+            # gaussians with the highest alpha; their centers should sit on
+            # the zero level set and SDF gradients align with their normals
+            g = res.gaussians
+            score = jnp.where(g.valid, g.alphas, -1.0)
+            top_idx = jax.lax.top_k(score, S)[1]
+            gsel_mask = score[top_idx] > 0.5
+            centers = jax.lax.stop_gradient(g.means[top_idx])
+            sdf_c, _, v_c = field.sdf_at(m, d, centers, sigma_scale, k,
+                                         stencil_r, alpha_s)
+            v_cf = (gsel_mask & v_c).astype(jnp.float32)
+            gs_sdf = jnp.sum(jnp.abs(sdf_c) * v_cf) / jnp.maximum(
+                jnp.sum(v_cf), 1.0)
+            # normal alignment
+            gq = rz.quat_to_rotmat(g.quats[top_idx])
+            gnormal = gq[:, :, 2]
+            sgrad = field.sdf_grad_numerical(m, d, centers, sigma_scale,
+                                             grad_delta, k, stencil_r,
+                                             alpha_s)
+            sgrad_n = sgrad / jnp.sqrt(
+                jnp.sum(sgrad * sgrad, axis=-1, keepdims=True) + 1e-12)
+            align = 1.0 - jnp.abs(jnp.sum(gnormal * sgrad_n, axis=-1))
+            gs_nrm = jnp.sum(align * v_cf) / jnp.maximum(jnp.sum(v_cf), 1.0)
+
+            # concurrent SDF batch (mapper.py:1493-1544)
+            pts_b, sdf_lab, col_lab, w_b, valid_b = sdf_batch
+            sdf_p, _, qv = field.sdf_at(m, d, pts_b, sigma_scale, k,
+                                        stencil_r, alpha_s)
+            vb = (valid_b & qv).astype(jnp.float32)
+            bce = losses.sdf_bce_loss(sdf_p, sdf_lab, w_b, sigma, vb)
+            gb = field.sdf_grad_numerical(m, d, pts_b[:eik_n], sigma_scale,
+                                          grad_delta, k, stencil_r, alpha_s)
+            eik = losses.eikonal_loss(gb, vb[:eik_n])
+
+            iso = losses.isotropic_loss(
+                g.scales, g.valid.astype(jnp.float32)) \
+                if cfg.lambda_isotropic > 0 else jnp.float32(0.0)
+
+            total = (
+                photo
+                + cfg.lambda_depth * dl1
+                + cfg.lambda_normal_depth_consist * ncons
+                + cfg.lambda_opacity_ent * oent
+                + cfg.lambda_sky * sky_l
+                + cfg.lambda_gs_sdf_consist * gs_sdf
+                + cfg.lambda_gs_sdf_normal_consist * gs_nrm
+                + cfg.lambda_isotropic * iso
+                + bce + cfg.weight_e * eik
+            )
+            metrics = GsStepMetrics(
+                total=total, rgb_l1=l1, ssim=1.0 - 2.0 * ds, depth_l1=dl1,
+                normal=ncons, opacity_ent=oent, sky=sky_l,
+                gs_sdf=gs_sdf, sdf_bce=bce,
+                psnr=losses.psnr(res.rgb, cam.rgb),
+                n_overflow=res.n_overflow,
+            )
+            return total, metrics
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
+        freeze_keys = ("sdf", "color")
+        grads = {
+            **grads,
+            **{kk: jax.tree.map(
+                lambda x: jnp.where(freeze_geo, jnp.zeros_like(x), x),
+                grads[kk]) for kk in freeze_keys},
+        }
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return step

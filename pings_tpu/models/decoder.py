@@ -43,11 +43,17 @@ def init_mlp(
     dims = [in_dim] + [hidden_dim] * max(hidden_level, 1) + [out_dim]
     ws: List[jnp.ndarray] = []
     bs: List[jnp.ndarray] = []
-    keys = jax.random.split(key, len(dims) - 1)
-    for k, (d_in, d_out) in zip(keys, zip(dims[:-1], dims[1:])):
+    keys = jax.random.split(key, 2 * (len(dims) - 1))
+    for i, (d_in, d_out) in enumerate(zip(dims[:-1], dims[1:])):
         scale = jnp.sqrt(2.0 / d_in)
-        ws.append(jax.random.normal(k, (d_in, d_out), dtype) * scale)
-        bs.append(jnp.zeros((d_out,), dtype) if bias_on else None)
+        ws.append(jax.random.normal(keys[2 * i], (d_in, d_out), dtype) * scale)
+        # torch nn.Linear-style nonzero bias (uniform ±1/sqrt(fan_in)):
+        # with zero-initialized neural-point features, zero biases would
+        # make every head output exactly 0 — a dead fixed point for the
+        # alpha-culled spawn path
+        bound = 1.0 / jnp.sqrt(jnp.float32(d_in))
+        bs.append(jax.random.uniform(keys[2 * i + 1], (d_out,), dtype,
+                                     -bound, bound) if bias_on else None)
     return {"w": ws, "b": bs}
 
 

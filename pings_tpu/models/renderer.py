@@ -1,0 +1,153 @@
+"""The render path: camera model, spawning + rasterization + exposure.
+
+TPU-native counterpart of ``render()``
+(gaussian_splatting/gaussian_renderer/__init__.py:27-466) and ``CamImage``
+(gaussian_splatting/utils/cameras.py): frustum-select local neural points,
+decode K Gaussians each, concatenate pre-spawned frozen surrounding
+Gaussians, rasterize with optional camera pose delta, then apply exposure
+correction (affine 3x3+offset or scalar a/b, __init__.py:449-462).
+
+The reference's OpenGL projection-matrix plumbing collapses to direct
+intrinsics K here (our rasterizer projects with K; principal-point offsets
+are native, graphics_utils.py:54-76 not needed).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pings_tpu.models.spawn import LocalPointData, SpawnedGaussians, spawn_gaussians
+from pings_tpu.ops import rasterize as rz
+
+
+class CamView(NamedTuple):
+    """A camera + target frame record (reference CamImage, cameras.py:22-259).
+
+    Images are (H, W, C) float32 in [0, 1]; depth (H, W) meters (0 =
+    missing); sky (H, W) 1=sky. T_c_w maps world -> camera."""
+    K: jnp.ndarray
+    T_c_w: jnp.ndarray
+    rgb: jnp.ndarray
+    depth: jnp.ndarray
+    sky: jnp.ndarray
+    frame_id: jnp.ndarray
+
+
+class ExposureParams(NamedTuple):
+    """Per-camera exposure correction (cameras.py:92-114).
+
+    affine: rgb' = M @ rgb + o (3x3 + 3); scalar: rgb' = exp(a) * rgb + b."""
+    mat: jnp.ndarray    # (3, 3)
+    off: jnp.ndarray    # (3,)
+    a: jnp.ndarray      # ()
+    b: jnp.ndarray      # ()
+
+
+def init_exposure() -> ExposureParams:
+    return ExposureParams(jnp.eye(3), jnp.zeros(3), jnp.float32(0.0),
+                          jnp.float32(0.0))
+
+
+def apply_exposure(rgb: jnp.ndarray, e: ExposureParams,
+                   affine: bool) -> jnp.ndarray:
+    if affine:
+        return jnp.clip(rgb @ e.mat.T + e.off, 0.0, 1.0)
+    return jnp.clip(jnp.exp(e.a) * rgb + e.b, 0.0, 1.0)
+
+
+def depth_to_normal(depth: jnp.ndarray, K: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Camera-frame normal map from a depth map (reference depth2normal,
+    gaussian_splatting/utils/point_utils.py:83-148): cross products of
+    central-difference unprojected neighbors. Returns (normal (H,W,3),
+    valid (H,W))."""
+    h, w = depth.shape
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    x = (xs + 0.5 - cx) / fx * depth
+    y = (ys + 0.5 - cy) / fy * depth
+    p = jnp.stack([x, y, depth], axis=-1)               # (H, W, 3)
+    dzdx = 0.5 * (jnp.roll(p, -1, axis=1) - jnp.roll(p, 1, axis=1))
+    dzdy = 0.5 * (jnp.roll(p, -1, axis=0) - jnp.roll(p, 1, axis=0))
+    n = jnp.cross(dzdx, dzdy)
+    nn = jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
+    n = n / nn
+    # flip toward camera
+    n = n * jnp.where(n[..., 2:3] > 0, -1.0, 1.0)
+    valid = (depth > 1e-4)
+    valid &= jnp.roll(valid, 1, 0) & jnp.roll(valid, -1, 0)
+    valid &= jnp.roll(valid, 1, 1) & jnp.roll(valid, -1, 1)
+    valid = valid.at[0, :].set(False).at[-1, :].set(False)
+    valid = valid.at[:, 0].set(False).at[:, -1].set(False)
+    return n, valid
+
+
+class RenderResult(NamedTuple):
+    rgb: jnp.ndarray
+    depth: jnp.ndarray
+    alpha: jnp.ndarray
+    normal: jnp.ndarray
+    contrib: jnp.ndarray      # per spawned gaussian (local part only)
+    gaussians: SpawnedGaussians
+    n_overflow: jnp.ndarray
+
+
+def render(
+    local: LocalPointData,
+    decoders,
+    cam: CamView,
+    width: int,
+    height: int,
+    *,
+    exposure: Optional[ExposureParams] = None,
+    affine_exposure: bool = False,
+    theta: Optional[jnp.ndarray] = None,
+    rho: Optional[jnp.ndarray] = None,
+    surrounding: Optional[SpawnedGaussians] = None,
+    bg: Optional[jnp.ndarray] = None,
+    spawn_kwargs: Optional[dict] = None,
+    tile: int = 16,
+    max_per_tile: int = 512,
+    chunk: int = 32,
+    normalize_depth: bool = True,
+) -> RenderResult:
+    """Spawn + rasterize + exposure. Differentiable w.r.t. local point
+    features, decoder params, exposure, and (theta, rho)."""
+    spawn_kwargs = spawn_kwargs or {}
+    T_c_w = cam.T_c_w
+    if theta is not None:
+        T_c_w = rz.apply_pose_delta(T_c_w, theta, rho)
+    cam_origin = -T_c_w[:3, :3].T @ T_c_w[:3, 3]
+
+    visible = rz.mark_visible(local.positions, T_c_w, cam.K, width, height)
+    g = spawn_gaussians(local, decoders, cam_origin, visible, **spawn_kwargs)
+
+    if surrounding is not None:
+        means = jnp.concatenate([g.means, surrounding.means])
+        quats = jnp.concatenate([g.quats, surrounding.quats])
+        scales = jnp.concatenate([g.scales, surrounding.scales])
+        alphas = jnp.concatenate([g.alphas, surrounding.alphas])
+        colors = jnp.concatenate([g.colors, surrounding.colors])
+        valid = jnp.concatenate([g.valid, surrounding.valid])
+    else:
+        means, quats, scales = g.means, g.quats, g.scales
+        alphas, colors, valid = g.alphas, g.colors, g.valid
+
+    out = rz.rasterize(
+        means, quats, scales, alphas, colors, valid,
+        T_c_w, cam.K, width, height, bg=bg,
+        tile=tile, max_per_tile=max_per_tile, chunk=chunk,
+        normalize_depth=normalize_depth,
+    )
+    rgb = out.rgb
+    if exposure is not None:
+        rgb = apply_exposure(rgb, exposure, affine_exposure)
+    n_local = g.means.shape[0]
+    return RenderResult(
+        rgb=rgb, depth=out.depth, alpha=out.alpha, normal=out.normal,
+        contrib=out.contrib[:n_local], gaussians=g,
+        n_overflow=out.n_overflow,
+    )

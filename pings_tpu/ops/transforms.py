@@ -30,7 +30,16 @@ HASH_PRIMES = (73856093, 19349669, 83492791)
 # --------------------------------------------------------------------------
 
 def quat_normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
+    # sqrt(sum + eps) keeps the gradient finite at q = 0 (plain
+    # linalg.norm has a NaN gradient there)
+    n = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + eps)
+    return q / n
+
+
+def safe_normalize(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Unit-normalize with a finite gradient at v = 0."""
+    n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + eps)
+    return v / n
 
 
 def quat_conjugate(q: jnp.ndarray) -> jnp.ndarray:
