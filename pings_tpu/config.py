@@ -245,16 +245,25 @@ class Config:
     def __post_init__(self):
         self.run_path: str = ""
 
-    # -- derived values (reference: utils/config.py:773-777) ----------------
+    # -- derived values (reference: utils/config.py:490-566, :773-777) ------
     def derive(self) -> "Config":
         self.infer_bs = 8 * self.bs
         self.local_map_radius = 1.05 * self.max_range
         self.sorrounding_map_radius = 1.4 * self.local_map_radius
         self.window_radius = max(self.max_range, self.window_radius)
         if self.vox_down_m <= 0:
-            self.vox_down_m = 0.05 * self.max_range / 60.0
+            self.vox_down_m = self.max_range * 1e-3
         if self.source_vox_down_m <= 0:
             self.source_vox_down_m = 10.0 * self.vox_down_m
+        # sampling/loss scales tied to the map resolution (reference
+        # utils/config.py:500-553: surface range = 3*vox_down = 0.6*voxel,
+        # sigma_sigmoid = vox_down = voxel/5, behind <= 2*surface range)
+        if self.surface_sample_range_m <= 0:
+            self.surface_sample_range_m = 0.6 * self.voxel_size_m
+        if self.free_sample_end_dist_m <= 0:
+            self.free_sample_end_dist_m = 2.0 * self.surface_sample_range_m
+        if self.sigma_sigmoid_m <= 0:
+            self.sigma_sigmoid_m = 0.2 * self.voxel_size_m
         return self
 
     # -- YAML overlay --------------------------------------------------------

@@ -28,6 +28,23 @@ import jax
 import jax.numpy as jnp
 
 
+def sample_rays_cfg(key, endpoints, colors, mask, sensor_origin, cfg):
+    """sample_rays with all scales taken from the config."""
+    return sample_rays(
+        key, endpoints, colors, mask, sensor_origin,
+        surface_sample_range_m=cfg.surface_sample_range_m,
+        surface_sample_n=cfg.surface_sample_n,
+        free_sample_begin_ratio=cfg.free_sample_begin_ratio,
+        free_sample_end_dist_m=cfg.free_sample_end_dist_m,
+        free_front_n=cfg.free_front_n,
+        free_behind_n=cfg.free_behind_n,
+        sigma_base=cfg.sigma_sigmoid_m,
+        dist_weight_on=cfg.loss_weight_on,
+        dist_weight_scale=cfg.dist_weight_scale,
+        max_range=cfg.max_range,
+    )
+
+
 class SdfSamples(NamedTuple):
     points: jnp.ndarray     # (M, 3) world-frame sample positions
     sdf_label: jnp.ndarray  # (M,) signed projective distance (m)
@@ -42,6 +59,9 @@ class SdfSamples(NamedTuple):
     jax.jit,
     static_argnames=(
         "surface_sample_n", "free_front_n", "free_behind_n",
+        "surface_sample_range_m", "free_sample_begin_ratio",
+        "free_sample_end_dist_m", "sigma_base", "dist_weight_on",
+        "dist_weight_scale", "max_range",
     ),
 )
 def sample_rays(
