@@ -1,0 +1,163 @@
+"""Loop-closure detection: distance gating + polar scan-context descriptors.
+
+Reference: utils/loop_detector.py — ``detect_local_loop`` (:404-440)
+proposes travel-dist-gated, drift-gated candidates by pose distance;
+``NeuralPointMapContextManager`` builds polar scan-context descriptors
+(20 rings x 60 sectors, max-z per bin, ptcloud2sc_torch :443-506), with a
+ring-key (row-mean) prefilter and a column-shift cosine match that also
+yields a yaw estimate (:218-334); *virtual side nodes* add laterally
+shifted copies to tolerate translation offsets (:79-152).
+
+Host-side numpy: descriptors are tiny (20x60) and per-frame cost is
+negligible next to mapping.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from pings_tpu.utils import pose as hp
+
+
+def scan_context(points_local: np.ndarray, num_rings: int = 20,
+                 num_sectors: int = 60, max_dist: float = 60.0,
+                 min_z: float = -3.0) -> np.ndarray:
+    """Polar descriptor: max height per (ring, sector) bin
+    (loop_detector.py:443-506). points are in the (virtual) sensor frame."""
+    x, y, z = points_local[:, 0], points_local[:, 1], points_local[:, 2]
+    r = np.sqrt(x * x + y * y)
+    theta = np.arctan2(y, x) + np.pi          # [0, 2pi)
+    ring = np.minimum((r / max_dist * num_rings).astype(np.int64),
+                      num_rings - 1)
+    sector = np.minimum((theta / (2 * np.pi) * num_sectors).astype(np.int64),
+                        num_sectors - 1)
+    ok = (r < max_dist) & (r > 1e-3)
+    sc = np.full(num_rings * num_sectors, min_z, np.float32)
+    np.maximum.at(sc, ring[ok] * num_sectors + sector[ok], z[ok])
+    sc = sc.reshape(num_rings, num_sectors)
+    return np.where(sc > min_z, sc, 0.0)
+
+
+def ring_key(sc: np.ndarray) -> np.ndarray:
+    """Rotation-invariant prefilter key: row occupancy mean."""
+    return (sc != 0).mean(axis=1)
+
+
+def sc_distance(sc1: np.ndarray, sc2: np.ndarray) -> Tuple[float, int]:
+    """Column-shift cosine distance; returns (min distance, shift) where
+    the shift estimates relative yaw (loop_detector.py:218-270)."""
+    ns = sc1.shape[1]
+    best = (np.inf, 0)
+    n1 = np.linalg.norm(sc1, axis=0) + 1e-9
+    for shift in range(ns):
+        sc2s = np.roll(sc2, shift, axis=1)
+        n2 = np.linalg.norm(sc2s, axis=0) + 1e-9
+        cos_per_col = np.sum(sc1 * sc2s, axis=0) / (n1 * n2)
+        valid = (np.linalg.norm(sc1, axis=0) > 0) & \
+                (np.linalg.norm(sc2s, axis=0) > 0)
+        if valid.sum() == 0:
+            continue
+        d = 1.0 - float(cos_per_col[valid].mean())
+        if d < best[0]:
+            best = (d, shift)
+    return best
+
+
+@dataclasses.dataclass
+class ContextNode:
+    frame_id: int
+    sc: np.ndarray           # (V, R, S) with V virtual side nodes
+    rk: np.ndarray           # (V, R)
+    side_offsets: np.ndarray  # (V,) lateral offsets (m), 0 = central
+
+
+class ScanContextManager:
+    """Reference NeuralPointMapContextManager (loop_detector.py:44-334)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.num_rings, self.num_sectors = cfg.context_shape
+        self.max_dist = cfg.npmc_max_dist
+        self.nodes: List[ContextNode] = []
+        self.virtual_count = cfg.context_virtual_side_count
+        self.virtual_step = cfg.context_virtual_step_m
+
+    def add_node(self, frame_id: int, points_local: np.ndarray):
+        """Add descriptors for the frame; virtual side nodes shift the
+        cloud laterally (±y) to tolerate revisit offsets
+        (loop_detector.py:79-152)."""
+        offs = [0.0]
+        for i in range(1, self.virtual_count + 1):
+            offs += [i * self.virtual_step, -i * self.virtual_step]
+        scs, rks = [], []
+        for off in offs:
+            shifted = points_local + np.array([0.0, off, 0.0], np.float32)
+            sc = scan_context(shifted, self.num_rings, self.num_sectors,
+                              self.max_dist)
+            scs.append(sc)
+            rks.append(ring_key(sc))
+        self.nodes.append(ContextNode(
+            frame_id, np.stack(scs), np.stack(rks),
+            np.array(offs, np.float32)))
+
+    def detect_global_loop(
+        self, points_local: np.ndarray, cur_frame_id: int,
+        exclude_recent_frames: int = 30,
+    ) -> Optional[Tuple[int, float, float, float]]:
+        """Query the database. Returns (frame_id, cos_dist, yaw_rad,
+        side_offset_m) of the best candidate under the threshold."""
+        if not self.nodes:
+            return None
+        q_sc = scan_context(points_local, self.num_rings, self.num_sectors,
+                            self.max_dist)
+        q_rk = ring_key(q_sc)
+        # ring-key prefilter over all (node, virtual) pairs
+        cands = []
+        for node in self.nodes:
+            if cur_frame_id - node.frame_id < exclude_recent_frames:
+                continue
+            d_rk = np.abs(node.rk - q_rk).mean(axis=1)   # (V,)
+            v = int(np.argmin(d_rk))
+            cands.append((float(d_rk[v]), node, v))
+        if not cands:
+            return None
+        cands.sort(key=lambda c: c[0])
+        best = None
+        for _, node, v in cands[: max(self.cfg.context_num_candidates, 1) * 3]:
+            d, shift = sc_distance(node.sc[v], q_sc)
+            if best is None or d < best[0]:
+                yaw = shift / self.num_sectors * 2 * np.pi
+                if yaw > np.pi:
+                    yaw -= 2 * np.pi
+                best = (d, node.frame_id, yaw, float(node.side_offsets[v]))
+        if best is None or best[0] > self.cfg.context_cosdist_threshold:
+            return None
+        return best[1], best[0], best[2], best[3]
+
+
+def detect_local_loop(
+    poses: List[np.ndarray],
+    frame_ids: List[int],
+    travel_dists: List[float],
+    cur_idx: int,
+    drift_estimate: float,
+    cfg,
+) -> Optional[Tuple[int, float]]:
+    """Distance-based candidate: the closest previous pose that is far in
+    travel distance but near in space (loop_detector.py:404-440).
+    Returns (frame_id, distance)."""
+    cur_pos = poses[cur_idx][:3, 3]
+    cur_travel = travel_dists[cur_idx]
+    min_travel_gap = cfg.min_loop_travel_dist_ratio * cfg.max_range
+    best = None
+    for i in range(cur_idx):
+        if cur_travel - travel_dists[i] < min_travel_gap:
+            continue
+        d = float(np.linalg.norm(poses[i][:3, 3] - cur_pos))
+        if d < cfg.max_loop_dist + drift_estimate:
+            if best is None or d < best[1]:
+                best = (frame_ids[i], d)
+    return best

@@ -1,0 +1,226 @@
+"""Pose-graph optimization (host-side, float64).
+
+Plays the role gtsam 4.2 plays in the reference (utils/pgo.py:47-231:
+PriorFactorPose3 + odometry/loop BetweenFactorPose3 with diagonal
+covariances, ISAM2/LM optimization, error-based loop outlier rejection,
+drift estimation). gtsam is not available here, so this is a from-scratch
+sparse Gauss-Newton/Levenberg-Marquardt SE(3) pose-graph solver on
+scipy.sparse — graphs of a few thousand nodes solve in milliseconds, which
+matches the reference's usage pattern (optimize on loop closures only).
+
+Factor residual convention: for a between factor (i, j, Z) the error is
+log(Z^-1 * Xi^-1 * Xj) in the right-perturbation convention
+Xi <- Xi * exp(xi).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from pings_tpu.utils import pose as hp
+
+
+@dataclasses.dataclass
+class BetweenFactor:
+    i: int
+    j: int
+    Z: np.ndarray           # (4, 4) measured T_i_j
+    sqrt_info: np.ndarray   # (6,) diagonal sqrt information [trans, rot]
+    is_loop: bool = False
+
+
+def _adjoint_inv_approx(err: np.ndarray) -> np.ndarray:
+    """First-order inverse right Jacobian of SE(3) log at small error."""
+    # good enough near convergence (errors are small after odometry init)
+    rho, phi = err[:3], err[3:]
+    J = np.eye(6)
+    J[:3, :3] -= 0.5 * hp.skew(phi)
+    J[3:, 3:] -= 0.5 * hp.skew(phi)
+    J[:3, 3:] -= 0.5 * hp.skew(rho)
+    return J
+
+
+class PoseGraph:
+    """Reference PoseGraphManager equivalent (utils/pgo.py)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.poses: List[np.ndarray] = []       # T_w_i, float64
+        self.frame_ids: List[int] = []
+        self.id2node: Dict[int, int] = {}
+        self.factors: List[BetweenFactor] = []
+        self.prior_node = 0
+        # reference const diag covariances (pgo.py:56-66):
+        # rot_std 0.01 deg -> rad, tran_std 0.04 m
+        rot_std = np.radians(cfg.pgo_rot_std)
+        tran_std = cfg.pgo_tran_std
+        self.odom_sqrt_info = np.array(
+            [1 / tran_std] * 3 + [1 / max(rot_std, 1e-6)] * 3)
+        self.last_loop_node: Optional[int] = None
+        self.travel_dist_at_loop = 0.0
+        self.min_loop_error: float = cfg.pgo_error_thre_frame
+
+    # -- graph construction -------------------------------------------------
+    def add_frame_node(self, frame_id: int, T_w_i: np.ndarray) -> int:
+        node = len(self.poses)
+        self.poses.append(np.asarray(T_w_i, np.float64).copy())
+        self.frame_ids.append(frame_id)
+        self.id2node[frame_id] = node
+        return node
+
+    def add_odometry_factor(self, frame_i: int, frame_j: int,
+                            T_i_j: np.ndarray,
+                            sqrt_info: Optional[np.ndarray] = None):
+        self.factors.append(BetweenFactor(
+            self.id2node[frame_i], self.id2node[frame_j],
+            np.asarray(T_i_j, np.float64),
+            sqrt_info if sqrt_info is not None else self.odom_sqrt_info))
+
+    def add_loop_factor(self, frame_i: int, frame_j: int, T_i_j: np.ndarray,
+                        sqrt_info: Optional[np.ndarray] = None):
+        self.factors.append(BetweenFactor(
+            self.id2node[frame_i], self.id2node[frame_j],
+            np.asarray(T_i_j, np.float64),
+            sqrt_info if sqrt_info is not None else self.odom_sqrt_info,
+            is_loop=True))
+
+    # -- optimization -------------------------------------------------------
+    def _factor_error(self, f: BetweenFactor,
+                      poses: List[np.ndarray]) -> np.ndarray:
+        pred = hp.se3_inv(poses[f.i]) @ poses[f.j]
+        return hp.se3_log(hp.se3_inv(f.Z) @ pred)
+
+    def total_error(self) -> float:
+        return float(sum(
+            np.sum((f.sqrt_info * self._factor_error(f, self.poses)) ** 2)
+            for f in self.factors))
+
+    def optimize(self, max_iter: Optional[int] = None,
+                 lm_lambda: float = 1e-6) -> float:
+        """Sparse LM over all poses (node 0 fixed by a strong prior)."""
+        n = len(self.poses)
+        if n < 2 or not self.factors:
+            return 0.0
+        max_iter = max_iter or self.cfg.pgo_max_iter
+        poses = [p.copy() for p in self.poses]
+        last_err = np.inf
+        for _ in range(max_iter):
+            rows, cols, vals = [], [], []
+            rhs = np.zeros(6 * n)
+            err_total = 0.0
+
+            def add_block(r, c, B):
+                for a in range(6):
+                    for b in range(6):
+                        rows.append(r + a)
+                        cols.append(c + b)
+                        vals.append(B[a, b])
+
+            # prior on node 0 (fix gauge)
+            Wp = 1e6
+            add_block(0, 0, Wp * np.eye(6))
+            e0 = hp.se3_log(hp.se3_inv(self.poses[0]) @ poses[0])
+            rhs[0:6] -= Wp * e0
+            err_total += Wp * float(e0 @ e0)
+
+            for f in self.factors:
+                e = self._factor_error(f, poses)
+                W = f.sqrt_info**2
+                Jinv = _adjoint_inv_approx(e)
+                # d e / d xi_j = Jinv ; d e / d xi_i = -Jinv * Ad(T_j^-1 T_i)
+                Tji = hp.se3_inv(poses[f.j]) @ poses[f.i]
+                Ad = np.zeros((6, 6))
+                R = Tji[:3, :3]
+                Ad[:3, :3] = R
+                Ad[3:, 3:] = R
+                Ad[:3, 3:] = hp.skew(Tji[:3, 3]) @ R
+                Jj = Jinv
+                Ji = -Jinv @ Ad
+                WJi = W[:, None] * Ji
+                WJj = W[:, None] * Jj
+                add_block(6 * f.i, 6 * f.i, Ji.T @ WJi)
+                add_block(6 * f.j, 6 * f.j, Jj.T @ WJj)
+                add_block(6 * f.i, 6 * f.j, Ji.T @ WJj)
+                add_block(6 * f.j, 6 * f.i, Jj.T @ WJi)
+                rhs[6 * f.i:6 * f.i + 6] -= Ji.T @ (W * e)
+                rhs[6 * f.j:6 * f.j + 6] -= Jj.T @ (W * e)
+                err_total += float(e @ (W * e))
+
+            H = sp.csr_matrix((vals, (rows, cols)), shape=(6 * n, 6 * n))
+            H = H + lm_lambda * sp.eye(6 * n)
+            dx = spla.spsolve(H.tocsc(), rhs)
+            for i in range(n):
+                poses[i] = poses[i] @ hp.se3_exp(dx[6 * i:6 * i + 6])
+            if abs(last_err - err_total) < 1e-10 * max(err_total, 1.0):
+                break
+            last_err = err_total
+        self.poses = poses
+        return last_err
+
+    # -- loop handling (reference pgo.py:142-186, :321-336) -----------------
+    def try_loop_closure(self, frame_i: int, frame_j: int,
+                         T_i_j: np.ndarray) -> bool:
+        """Add a loop factor, optimize, and reject if the per-frame error
+        exceeds the threshold (restoring the previous state)."""
+        saved_poses = [p.copy() for p in self.poses]
+        saved_factors = list(self.factors)
+        self.add_loop_factor(frame_i, frame_j, T_i_j)
+        self.optimize()
+        # outlier test: a genuine loop is absorbed by the graph (its own
+        # residual collapses to cm); a bogus constraint cannot be
+        # reconciled with the odometry chain and keeps a large residual
+        # (role of the reference's error-based rejection, pgo.py:172-186)
+        e = self._factor_error(self.factors[-1], self.poses)
+        trans_res = float(np.linalg.norm(e[:3]))
+        rot_res = float(np.linalg.norm(e[3:]))
+        # ... and a bogus loop that *is* absorbed shows up as violated
+        # odometry factors (the chain bends to accommodate it)
+        odo_res = [
+            float(np.linalg.norm(self._factor_error(f, self.poses)[:3]))
+            for f in self.factors if not f.is_loop
+        ]
+        mean_odo = float(np.mean(odo_res)) if odo_res else 0.0
+        odo_thre = max(5.0 * self.cfg.pgo_tran_std,
+                       0.5 * self.cfg.pgo_error_thre_frame)
+        if (trans_res > self.cfg.pgo_error_thre_frame
+                or rot_res > np.radians(10.0)
+                or mean_odo > odo_thre):
+            self.poses = saved_poses
+            self.factors = saved_factors
+            return False
+        self.last_loop_node = self.id2node[frame_j]
+        return True
+
+    def estimate_drift(self, travel_dist: float) -> float:
+        """1% of travel since the last loop (pgo.py:321-336)."""
+        return 0.01 * max(travel_dist - self.travel_dist_at_loop, 0.0)
+
+    def pose_deltas(self, old_poses: List[np.ndarray]) -> np.ndarray:
+        """Per-node correction T_new @ inv(T_old) (for map adjustment,
+        reference get_pose_diff pgo.py:316-319)."""
+        return np.stack([
+            self.poses[i] @ hp.se3_inv(old_poses[i])
+            for i in range(len(self.poses))
+        ])
+
+    # -- IO (reference pgo.py:234-313) --------------------------------------
+    def write_g2o(self, path: str):
+        with open(path, "w") as f:
+            for i, T in enumerate(self.poses):
+                q = hp.rotmat_to_quat(T[:3, :3])
+                t = T[:3, 3]
+                # g2o uses xyzw
+                f.write(f"VERTEX_SE3:QUAT {i} {t[0]} {t[1]} {t[2]} "
+                        f"{q[1]} {q[2]} {q[3]} {q[0]}\n")
+            for fac in self.factors:
+                q = hp.rotmat_to_quat(fac.Z[:3, :3])
+                t = fac.Z[:3, 3]
+                info = " ".join(str(v) for v in np.diag(fac.sqrt_info**2)
+                                .flatten())
+                f.write(f"EDGE_SE3:QUAT {fac.i} {fac.j} {t[0]} {t[1]} {t[2]} "
+                        f"{q[1]} {q[2]} {q[3]} {q[0]}\n")

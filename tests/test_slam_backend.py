@@ -1,0 +1,160 @@
+import numpy as np
+import pytest
+
+from pings_tpu.config import Config
+from pings_tpu.slam import loop_detector as ld
+from pings_tpu.slam.pgo import PoseGraph
+from pings_tpu.utils import pose as hp
+
+
+@pytest.fixture
+def cfg():
+    return Config.load(overrides=dict(max_range=10.0))
+
+
+class TestPoseGraph:
+    def simulate_drifting_loop(self, cfg, n=40, drift=0.02):
+        """Square loop trajectory with odometry drift; ground truth closes."""
+        rng = np.random.default_rng(0)
+        gt = [np.eye(4)]
+        odom_meas = []
+        step = np.array([1.0, 0, 0, 0, 0, 0])
+        for i in range(1, n):
+            xi = step.copy()
+            if i % (n // 4) == 0:
+                xi[5] = np.pi / 2  # turn
+            gt.append(gt[-1] @ hp.se3_exp(xi))
+            noisy = hp.se3_exp(xi + rng.normal(0, drift, 6) * [1, 1, 0, 0, 0, 1])
+            odom_meas.append(noisy)
+        return gt, odom_meas
+
+    def test_loop_closure_reduces_error(self, cfg):
+        gt, meas = self.simulate_drifting_loop(cfg)
+        pg = PoseGraph(cfg)
+        pg.add_frame_node(0, np.eye(4))
+        T = np.eye(4)
+        for i, Z in enumerate(meas):
+            T = T @ Z
+            pg.add_frame_node(i + 1, T)
+            pg.add_odometry_factor(i, i + 1, Z)
+        err_before = np.linalg.norm(pg.poses[-1][:3, 3] - gt[-1][:3, 3])
+        # loop closure: true relative pose between node 0 and last node
+        T_0_last = hp.se3_inv(gt[0]) @ gt[-1]
+        ok = pg.try_loop_closure(0, len(meas), T_0_last)
+        assert ok
+        err_after = np.linalg.norm(pg.poses[-1][:3, 3] - gt[-1][:3, 3])
+        assert err_after < err_before * 0.3, (err_before, err_after)
+        # interior poses improve too
+        mid = len(gt) // 2
+        mid_after = np.linalg.norm(pg.poses[mid][:3, 3] - gt[mid][:3, 3])
+        assert mid_after < 1.0
+
+    def test_bogus_loop_rejected(self, cfg):
+        gt, meas = self.simulate_drifting_loop(cfg, drift=0.001)
+        pg = PoseGraph(cfg)
+        pg.add_frame_node(0, np.eye(4))
+        T = np.eye(4)
+        for i, Z in enumerate(meas):
+            T = T @ Z
+            pg.add_frame_node(i + 1, T)
+            pg.add_odometry_factor(i, i + 1, Z)
+        poses_before = [p.copy() for p in pg.poses]
+        bogus = hp.se3_exp(np.array([20.0, 15, 3, 0.5, 0.5, 1.0]))
+        ok = pg.try_loop_closure(0, len(meas), bogus)
+        assert not ok
+        for a, b in zip(poses_before, pg.poses):
+            np.testing.assert_allclose(a, b)
+
+    def test_pose_deltas_identity_when_no_correction(self, cfg):
+        pg = PoseGraph(cfg)
+        pg.add_frame_node(0, np.eye(4))
+        pg.add_frame_node(1, hp.se3_exp(np.array([1.0, 0, 0, 0, 0, 0])))
+        old = [p.copy() for p in pg.poses]
+        deltas = pg.pose_deltas(old)
+        np.testing.assert_allclose(deltas[0], np.eye(4), atol=1e-12)
+
+
+class TestScanContext:
+    def make_cloud(self, rng, n=2000):
+        # structured cloud: a few walls + scatter
+        w1 = np.stack([np.full(n // 4, 8.0), rng.uniform(-10, 10, n // 4),
+                       rng.uniform(0, 3, n // 4)], -1)
+        w2 = np.stack([rng.uniform(-10, 10, n // 4), np.full(n // 4, -6.0),
+                       rng.uniform(0, 2, n // 4)], -1)
+        sc = rng.uniform(-1, 1, (n // 2, 3)) * [10, 10, 1.5]
+        return np.concatenate([w1, w2, sc]).astype(np.float32)
+
+    def test_same_place_detected_with_yaw(self, cfg, rng):
+        mgr = ld.ScanContextManager(cfg)
+        cloud = self.make_cloud(rng)
+        mgr.add_node(0, cloud)
+        # revisit rotated by 60 degrees
+        yaw = np.radians(60)
+        R = hp.so3_exp(np.array([0, 0, yaw]))
+        cloud2 = (cloud @ R.T).astype(np.float32)
+        hit = mgr.detect_global_loop(cloud2, cur_frame_id=100)
+        assert hit is not None
+        fid, dist, est_yaw, side = hit
+        assert fid == 0
+        # yaw recovered modulo sector resolution (6 deg)
+        err = abs((est_yaw - (-yaw) + np.pi) % (2 * np.pi) - np.pi)
+        err = min(err, abs((est_yaw - yaw + np.pi) % (2 * np.pi) - np.pi))
+        assert err < np.radians(12), np.degrees(est_yaw)
+
+    def test_different_place_not_detected(self, cfg, rng):
+        mgr = ld.ScanContextManager(cfg)
+        mgr.add_node(0, self.make_cloud(rng))
+        other = (rng.uniform(-1, 1, (2000, 3)) * [3, 30, 4]).astype(np.float32)
+        hit = mgr.detect_global_loop(other, cur_frame_id=100)
+        assert hit is None
+
+    def test_recent_frames_excluded(self, cfg, rng):
+        mgr = ld.ScanContextManager(cfg)
+        cloud = self.make_cloud(rng)
+        mgr.add_node(95, cloud)
+        assert mgr.detect_global_loop(cloud, cur_frame_id=100) is None
+
+    def test_local_loop_gating(self, cfg):
+        poses = [hp.se3_exp(np.array([i * 1.0, 0, 0, 0, 0, 0]))
+                 for i in range(50)]
+        poses.append(np.eye(4))  # returned to start
+        travel = [float(i) for i in range(50)] + [100.0]
+        hit = ld.detect_local_loop(poses, list(range(51)), travel, 50, 1.0,
+                                   cfg)
+        assert hit is not None and hit[0] == 0
+        # without enough travel distance, no loop
+        hit2 = ld.detect_local_loop(poses[:3], [0, 1, 2], travel[:3], 2, 1.0,
+                                    cfg)
+        assert hit2 is None
+
+
+class TestMesher:
+    @pytest.mark.slow
+    def test_corner_mesh(self, rng):
+        from helpers import build_trained_corner_map
+        from pings_tpu.slam.mesher import Mesher, write_ply
+
+        cfg = Config.load(overrides=dict(
+            max_points=16384, buffer_size=1 << 16, voxel_size_m=0.25,
+            feature_dim=8, color_feature_dim=8, bs=2048,
+            geo_mlp_hidden_dim=32, color_mlp_hidden_dim=32,
+            pool_capacity=1 << 15, lr=0.02, lr_mlp_base=2e-3,
+            surface_sample_range_m=-1.0, free_sample_end_dist_m=-1.0,
+            sigma_sigmoid_m=-1.0, mc_res_m=0.1, mesh_min_nn=3,
+        ))
+        m, d = build_trained_corner_map(rng, cfg, iters=300)
+        mesher = Mesher(cfg)
+        verts, tris, colors = mesher.recon_aabb_mesh(
+            m, d, np.array([0.2, 0.2, 0.2]), np.array([2.5, 2.5, 2.5]))
+        assert len(verts) > 200 and len(tris) > 200
+        # vertices lie near one of the three planes (min coord ~ 0)
+        min_coord = np.abs(verts).min(axis=1)
+        frac_on_plane = (min_coord < 0.12).mean()
+        assert frac_on_plane > 0.8, frac_on_plane
+        assert colors is not None and colors.shape == (len(verts), 3)
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "mesh.ply")
+            write_ply(p, verts, tris, colors)
+            head = open(p).read(200)
+            assert head.startswith("ply") and "element vertex" in head
