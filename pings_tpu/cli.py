@@ -1,0 +1,175 @@
+"""Command-line entry point.
+
+Reference: pings.py:78-127 (typer CLI ``run_pings`` with flags for
+visualization, log, frame range, mesh saving, config + dataset + sequence).
+typer is unavailable here; argparse provides the same surface:
+
+    python -m pings_tpu.cli configs/run_synthetic.yaml \
+        --loader synthetic --seq 40:circle --range 0 100 1 --tag demo
+
+Writes the reference's result artifacts into the run directory:
+KITTI-format poses, pose_eval.csv (ATE/ARTE), timing table, trajectory
+plot, the map checkpoint, and optionally the reconstructed mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import time
+from datetime import datetime
+
+import numpy as np
+
+from pings_tpu.config import Config
+from pings_tpu.data.base import dataset_factory
+from pings_tpu.eval.traj import (
+    absolute_error, plot_trajectories, relative_error, write_kitti_poses,
+)
+from pings_tpu.slam.pipeline import SlamSystem
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pings_tpu",
+        description="TPU-native LiDAR-visual SLAM with a unified "
+                    "GS + SDF neural point map")
+    p.add_argument("config", nargs="?", default=None,
+                   help="YAML config file")
+    p.add_argument("--data-path", default="", help="dataset root")
+    p.add_argument("--loader", default=None,
+                   help="dataset loader name (synthetic, generic, kitti, "
+                        "replica, tum, neuralrgbd, ...)")
+    p.add_argument("--seq", default=None, help="sequence name")
+    p.add_argument("--range", nargs=3, type=int, default=None,
+                   metavar=("BEGIN", "END", "STEP"), help="frame range")
+    p.add_argument("--output", default=None, help="output root dir")
+    p.add_argument("--tag", default="", help="run name tag")
+    p.add_argument("--no-track", action="store_true",
+                   help="mapping-only with GT/constant-velocity poses")
+    p.add_argument("--no-gs", action="store_true",
+                   help="disable gaussian-splatting mapping")
+    p.add_argument("--save-mesh", action="store_true")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def run(args) -> dict:
+    overrides = {}
+    if args.loader:
+        overrides["data_loader_name"] = args.loader
+    if args.seq is not None:
+        overrides["data_loader_seq"] = args.seq
+    if args.data_path:
+        overrides["pc_path"] = args.data_path
+    if args.range:
+        overrides["begin_frame"], overrides["end_frame"], \
+            overrides["step_frame"] = args.range
+    if args.output:
+        overrides["output_root"] = args.output
+    if args.no_track:
+        overrides["track_on"] = False
+    if args.no_gs:
+        overrides["gs_on"] = False
+    if args.seed is not None:
+        overrides["seed"] = args.seed
+    if args.quiet:
+        overrides["silence"] = True
+    cfg = Config.load(args.config, overrides)
+
+    ds = dataset_factory(cfg.data_loader_name, cfg.pc_path,
+                         cfg.data_loader_seq, cfg)
+    begin, end, step = cfg.begin_frame, cfg.end_frame, max(cfg.step_frame, 1)
+    if end < 0:
+        end = len(ds)
+    end = min(end, len(ds))
+
+    stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    run_name = "_".join(x for x in [cfg.name, args.tag, stamp] if x)
+    run_dir = os.path.join(cfg.output_root, run_name)
+    os.makedirs(run_dir, exist_ok=True)
+    cfg.run_path = run_dir
+    cfg.dump(os.path.join(run_dir, "config_all.yaml"))
+
+    system = SlamSystem(cfg)
+    gt = ds.gt_poses()
+    reports = []
+    t_start = time.time()
+    for fid in range(begin, end, step):
+        rep = system.process_frame(ds[fid])
+        reports.append(rep)
+        if not cfg.silence:
+            mets = " ".join(f"{k}={v:.3f}" for k, v in rep.metrics.items())
+            print(f"[frame {rep.frame_id:4d}] pts={rep.n_points} "
+                  f"track={'ok' if rep.tracking_valid else 'LOST'}"
+                  f"{' LOOP' if rep.loop_closed else ''} {mets}",
+                  flush=True)
+        if system.aborted:
+            print("Lose track for a long time, system failed")
+            break
+    wall = time.time() - t_start
+
+    results = write_results(run_dir, cfg, system, ds, reports, gt, wall)
+    if cfg.save_map:
+        system.save(os.path.join(run_dir, "model", "pin_map.npz"))
+    if args.save_mesh or cfg.save_mesh:
+        from pings_tpu.slam.mesher import Mesher, write_ply
+
+        mesher = Mesher(cfg)
+        v, t, c = mesher.recon_map_mesh(system.m, system.decoders)
+        write_ply(os.path.join(run_dir, "mesh.ply"), v, t, c)
+        results["mesh_verts"] = len(v)
+    if not cfg.silence:
+        print(json.dumps(results, indent=2, default=float))
+    return results
+
+
+def write_results(run_dir, cfg, system, ds, reports, gt, wall) -> dict:
+    """Reference SLAMDataset.write_results (slam_dataset.py:1231-1411)."""
+    results = {"frames": len(reports), "wall_s": wall,
+               "sec_per_frame": wall / max(len(reports), 1),
+               "map_points": int(system.m.count),
+               "loops": system.n_loops}
+    write_kitti_poses(os.path.join(run_dir, "poses_kitti.txt"), system.poses)
+    write_kitti_poses(os.path.join(run_dir, "odom_poses_kitti.txt"),
+                      system.odom_only_poses)
+    if gt:
+        used = [gt[i] for i in range(cfg.begin_frame,
+                                     cfg.begin_frame + len(system.poses)
+                                     * max(cfg.step_frame, 1),
+                                     max(cfg.step_frame, 1))
+                if i < len(gt)][: len(system.poses)]
+        if len(used) == len(system.poses) and len(used) >= 3:
+            ate = absolute_error(system.poses, used)
+            rel = relative_error(system.poses, used,
+                                 segment_lengths=(10, 20, 40),
+                                 step=2)
+            results.update(ate)
+            results.update(rel)
+            plot_trajectories(os.path.join(run_dir, "traj_plot.png"),
+                              system.poses, used)
+    # pose_eval.csv + timing table
+    with open(os.path.join(run_dir, "pose_eval.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(list(results.keys()))
+        w.writerow(list(results.values()))
+    with open(os.path.join(run_dir, "time_table.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        keys = sorted({k for r in reports for k in r.timings})
+        w.writerow(["frame"] + keys)
+        for r in reports:
+            w.writerow([r.frame_id] + [f"{r.timings.get(k, 0):.4f}"
+                                       for k in keys])
+    return results
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return run(args)
+
+
+if __name__ == "__main__":
+    main()

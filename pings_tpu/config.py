@@ -71,7 +71,8 @@ class Config:
     color_feature_dim: int = 8
     feature_std: float = 0.0
     query_nn_k: int = 6
-    num_nei_cells: int = 1             # stencil radius in voxels
+    num_nei_cells: int = 2             # stencil radius in voxels
+                                       # (reference utils/config.py:96)
     search_alpha: float = 0.2
     use_mid_ts: bool = True
     local_map_travel_dist_ratio: float = 5.0

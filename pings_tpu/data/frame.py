@@ -1,0 +1,122 @@
+"""Per-frame preprocessing: crop, downsample, deskew, camera projection.
+
+Reference: dataset/slam_dataset.py — ``preprocess_frame`` (:506-688):
+constant-velocity initial guess, range crop, voxel downsample of the map
+input and a coarser downsample of the tracker source, pre-deskew with the
+last relative motion; ``update_odom_pose`` (:691-773): pose bookkeeping,
+travel distance, stop detection, lose-track abort;
+``project_pointcloud_to_cams`` (:803-857): colorize scan + min-depth maps.
+
+Device work (crop/downsample/deskew/projection) runs in jitted ops with
+scans padded to power-of-two buckets to bound recompilation.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pings_tpu.ops import transforms as tf
+from pings_tpu.utils import pose as hp
+
+
+def pad_pow2(pts: np.ndarray, min_size: int = 4096):
+    """Pad to the next power-of-two length; returns (padded, mask)."""
+    n = len(pts)
+    size = max(min_size, 1 << int(np.ceil(np.log2(max(n, 1)))))
+    pad = size - n
+    out = np.zeros((size,) + pts.shape[1:], pts.dtype)
+    out[:n] = pts
+    mask = np.zeros(size, bool)
+    mask[:n] = True
+    return out, mask
+
+
+class PreprocessedFrame:
+    def __init__(self):
+        self.points_l: np.ndarray = None       # (P, 3) padded, sensor frame
+        self.colors: np.ndarray = None         # (P, 3)
+        self.mask: np.ndarray = None           # (P,)
+        self.point_ts: Optional[np.ndarray] = None
+        self.source_points: np.ndarray = None  # (S, 3) tracker source
+        self.source_mask: np.ndarray = None
+        self.cams: Dict[str, dict] = {}
+        self.gt_pose: Optional[np.ndarray] = None
+        self.raw: dict = None
+
+
+def preprocess_frame(frame: dict, cfg, T_rel_last: np.ndarray,
+                     deskew_on: bool) -> PreprocessedFrame:
+    out = PreprocessedFrame()
+    out.raw = frame
+    pts = np.asarray(frame["points"], np.float32)
+    colors = pts[:, 3:6] if pts.shape[1] >= 6 else np.zeros_like(pts[:, :3])
+    pts = pts[:, :3]
+    ts = frame.get("point_ts")
+
+    pts_p, mask = pad_pow2(pts)
+    colors_p, _ = pad_pow2(colors)
+    jp = jnp.asarray(pts_p)
+    jm = jnp.asarray(mask)
+    jm &= tf.crop_range_mask(jp, cfg.min_range, cfg.max_range,
+                             cfg.min_z, cfg.max_z)
+    if deskew_on and ts is not None and len(ts):
+        ts_p, _ = pad_pow2(np.asarray(ts, np.float32))
+        jp = tf.deskew(jp, jnp.asarray(ts_p),
+                       jnp.asarray(T_rel_last, jnp.float32))
+    keep_map = tf.voxel_down_sample_mask(jp, jm, cfg.vox_down_m)
+    keep_src = tf.voxel_down_sample_mask(jp, jm, cfg.source_vox_down_m)
+
+    out.points_l = np.asarray(jp)
+    out.colors = colors_p
+    out.mask = np.asarray(keep_map)
+    out.point_ts = ts
+
+    src_idx = np.nonzero(np.asarray(keep_src))[0]
+    if len(src_idx) > cfg.source_max_count:
+        src_idx = src_idx[:: len(src_idx) // cfg.source_max_count + 1]
+    src = out.points_l[src_idx]
+    src_p, src_m = pad_pow2(src, min_size=1024)
+    out.source_points = src_p
+    out.source_mask = src_m
+
+    for cam in frame.get("img", {}):
+        out.cams[cam] = {
+            "img": frame["img"][cam],
+            "depth": frame.get("depth", {}).get(cam),
+            "sky": frame.get("sky", {}).get(cam),
+            "K": frame["K"][cam],
+            "T_c_l": frame["T_c_l"][cam],
+        }
+    if "gt_pose" in frame:
+        out.gt_pose = np.asarray(frame["gt_pose"], np.float64)
+    return out
+
+
+def project_scan_to_cam(points_w: np.ndarray, mask: np.ndarray,
+                        T_c_w: np.ndarray, K: np.ndarray,
+                        width: int, height: int) -> np.ndarray:
+    """LiDAR depth map for a camera (min-depth splat)."""
+    uv, z, valid = tf.project_points_to_cam(
+        jnp.asarray(points_w), jnp.asarray(mask),
+        jnp.asarray(T_c_w, jnp.float32), jnp.asarray(K, jnp.float32),
+        width, height)
+    dm = tf.splat_depth_map(uv, z, valid, width, height)
+    return np.asarray(dm)
+
+
+def colorize_scan(points_w: np.ndarray, mask: np.ndarray,
+                  T_c_w: np.ndarray, K: np.ndarray,
+                  image: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Sample image color at projected scan points
+    (reference project_pointcloud_to_cams, slam_dataset.py:803-857)."""
+    h, w = image.shape[:2]
+    uv, z, valid = tf.project_points_to_cam(
+        jnp.asarray(points_w), jnp.asarray(mask),
+        jnp.asarray(T_c_w, jnp.float32), jnp.asarray(K, jnp.float32), w, h)
+    img = jnp.asarray(image, jnp.float32) / 255.0
+    colors, cvalid = tf.colorize_points(uv, valid, img)
+    return np.asarray(colors), np.asarray(cvalid)

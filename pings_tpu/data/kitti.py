@@ -1,0 +1,134 @@
+"""KITTI odometry loader (LiDAR + left color camera).
+
+Reference: dataset/dataloaders/kitti.py (345 LoC): velodyne/*.bin scans,
+image_2/*.png, calib.txt (P2 + Tr), poses in cam0 frame converted to the
+LiDAR frame, and the classic intrinsic vertical-angle correction
+(0.195-0.21 deg) applied to raw scans. Per-point timestamps are estimated
+from azimuth (one revolution per sweep).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from pings_tpu.data.base import BaseDataset, register_loader
+
+
+@register_loader("kitti")
+class KittiDataset(BaseDataset):
+    CAM = "cam2"
+
+    def __init__(self, data_path: str, sequence: str = "00", cfg=None):
+        super().__init__(data_path, sequence, cfg)
+        seq_dir = os.path.join(data_path, "sequences", sequence) \
+            if os.path.isdir(os.path.join(data_path, "sequences")) \
+            else os.path.join(data_path, sequence)
+        if not os.path.isdir(seq_dir):
+            seq_dir = data_path
+        self.seq_dir = seq_dir
+        self.scan_files = sorted(
+            glob.glob(os.path.join(seq_dir, "velodyne", "*.bin")))
+        self.img_files = sorted(
+            glob.glob(os.path.join(seq_dir, "image_2", "*.png")))
+        self.correction_deg = getattr(cfg, "correction_deg", 0.195) \
+            if cfg is not None else 0.195
+        self.apply_correction = getattr(cfg, "kitti_correction_on", True) \
+            if cfg is not None else True
+
+        self.K = None
+        self.T_c_l = None
+        calib = os.path.join(seq_dir, "calib.txt")
+        if os.path.exists(calib):
+            self._load_calib(calib)
+
+        self._gt: Optional[List[np.ndarray]] = None
+        for cand in (os.path.join(seq_dir, "poses.txt"),
+                     os.path.join(data_path, "poses", f"{sequence}.txt")):
+            if os.path.exists(cand):
+                self._gt = self._load_poses(cand)
+                break
+
+    def _load_calib(self, path: str):
+        vals = {}
+        with open(path) as f:
+            for line in f:
+                if ":" not in line:
+                    continue
+                k, v = line.split(":", 1)
+                vals[k.strip()] = np.array([float(x) for x in v.split()])
+        if "P2" in vals:
+            P2 = vals["P2"].reshape(3, 4)
+            self.K = P2[:, :3].copy()
+            # P2 includes a baseline offset: t = K^-1 * P2[:,3]
+            self._t2 = np.linalg.inv(self.K) @ P2[:, 3]
+        if "Tr" in vals:
+            Tr = np.eye(4)
+            Tr[:3, :4] = vals["Tr"].reshape(3, 4)
+            self.Tr = Tr  # cam0 <- lidar
+            T = Tr.copy()
+            if self.K is not None:
+                T[:3, 3] += self._t2
+            self.T_c_l = T
+
+    def _load_poses(self, path: str) -> List[np.ndarray]:
+        """cam0-frame poses -> lidar-frame (reference kitti.py pose
+        conversion T_l = Tr^-1 T_cam Tr)."""
+        poses = []
+        raw = np.loadtxt(path).reshape(-1, 12)
+        Tr = getattr(self, "Tr", np.eye(4))
+        Tr_inv = np.linalg.inv(Tr)
+        for row in raw:
+            Tc = np.eye(4)
+            Tc[:3, :4] = row.reshape(3, 4)
+            poses.append(Tr_inv @ Tc @ Tr)
+        return poses
+
+    def __len__(self):
+        return len(self.scan_files)
+
+    @property
+    def cam_names(self):
+        return [self.CAM] if (self.K is not None and self.img_files) else []
+
+    def gt_poses(self):
+        return self._gt
+
+    def _correct_scan(self, pts: np.ndarray) -> np.ndarray:
+        """Vertical-angle correction (reference kitti.py; also KISS-ICP)."""
+        ang = np.radians(self.correction_deg)
+        r = np.linalg.norm(pts, axis=1)
+        z_off = np.sin(ang) * r
+        corr = pts.copy()
+        corr[:, 2] += z_off
+        return corr
+
+    @staticmethod
+    def _azimuth_ts(pts: np.ndarray) -> np.ndarray:
+        az = np.arctan2(pts[:, 1], pts[:, 0])
+        # KITTI spins clockwise starting at -x; normalize [0, 1]
+        return ((-az + np.pi) / (2 * np.pi)).astype(np.float32)
+
+    def __getitem__(self, idx: int) -> dict:
+        pts = np.fromfile(self.scan_files[idx],
+                          dtype=np.float32).reshape(-1, 4)[:, :3]
+        if self.apply_correction:
+            pts = self._correct_scan(pts)
+        out = {
+            "points": pts.astype(np.float32),
+            "point_ts": self._azimuth_ts(pts),
+        }
+        if idx < len(self.img_files) and self.K is not None:
+            import cv2
+
+            img = cv2.cvtColor(cv2.imread(self.img_files[idx]),
+                               cv2.COLOR_BGR2RGB)
+            out["img"] = {self.CAM: img}
+            out["K"] = {self.CAM: self.K}
+            out["T_c_l"] = {self.CAM: self.T_c_l}
+        if self._gt is not None and idx < len(self._gt):
+            out["gt_pose"] = self._gt[idx]
+        return out

@@ -28,6 +28,8 @@ class PooledCam:
     slot: int
     frame_id: int
     position: np.ndarray  # world camera center, for range eviction
+    T_c_l: Optional[np.ndarray] = None  # cam-from-lidar, for pose refresh
+                                        # after PGO corrections
 
 
 class CamPool:
@@ -56,13 +58,14 @@ class CamPool:
         return exposure, cam_delta
 
     def add_keyframe(self, cam: CamView, position: np.ndarray,
-                     frame_id: int) -> Optional[int]:
+                     frame_id: int,
+                     T_c_l: Optional[np.ndarray] = None) -> Optional[int]:
         """Insert a keyframe; returns the slot whose exposure/delta params
         should be reset (or None)."""
         if not self._free:
             self._evict_long()
         slot = self._free.pop()
-        pc = PooledCam(cam, slot, frame_id, np.asarray(position))
+        pc = PooledCam(cam, slot, frame_id, np.asarray(position), T_c_l)
         self.short.append(pc)
         reset_slot = slot
         if len(self.short) > self.cfg.img_pool_size:

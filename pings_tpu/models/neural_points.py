@@ -201,7 +201,7 @@ def insert_points(
 # Local map mask (reference: reset_local_map, neural_gaussians.py:377-479)
 # ---------------------------------------------------------------------------
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("use_mid_ts",))
 def compute_local_mask(
     m: NeuralPointMap,
     cur_pos: jnp.ndarray,        # (3,)

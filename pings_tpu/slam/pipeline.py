@@ -1,0 +1,429 @@
+"""The full SLAM system: the per-frame loop tying every subsystem together.
+
+Reference: pings.py:249-489 (frame loop) and :539-610 (loop-closure
+driver): read/preprocess -> SDF odometry -> loop detection + PGO + map
+adjustment -> neural-point update -> SDF (+ joint GS) mapping -> health
+bookkeeping -> final results.
+
+State-synchronization model (TPU design): the map and decoders live in two
+views — ``self.m``/``self.decoders`` (the authoritative post-training
+state used by the tracker, mesher, renderer) and the optimizer param
+pytree (the trainable leaves). Each frame: params are re-extracted after
+map insertion (insertion rewrites feature rows of new points), trained,
+then applied back. Optimizer moments persist across frames.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pings_tpu.data.frame import (
+    PreprocessedFrame, colorize_scan, preprocess_frame, project_scan_to_cam,
+)
+from pings_tpu.mapping import gs_mapper, pool as rp, sdf_mapper
+from pings_tpu.mapping.campool import CamPool
+from pings_tpu.mapping.sampler import sample_rays_cfg
+from pings_tpu.models import decoder as dec, field, neural_points as npm
+from pings_tpu.models.renderer import CamView
+from pings_tpu.odometry.tracker import Tracker
+from pings_tpu.slam.loop_detector import ScanContextManager, detect_local_loop
+from pings_tpu.slam.pgo import PoseGraph
+from pings_tpu.utils import pose as hp
+
+MAX_FRAMES = 100000
+
+
+class FrameReport:
+    def __init__(self):
+        self.frame_id = 0
+        self.pose = np.eye(4)
+        self.tracking_valid = True
+        self.loop_closed = False
+        self.n_points = 0
+        self.timings: Dict[str, float] = {}
+        self.metrics: Dict[str, float] = {}
+
+
+class SlamSystem:
+    def __init__(self, cfg, seed: Optional[int] = None):
+        self.cfg = cfg
+        key = jax.random.PRNGKey(seed if seed is not None else cfg.seed)
+        km, kd = jax.random.split(key)
+        self.m = npm.init_map(cfg, km)
+        self.decoders = dec.init_decoders(kd, cfg)
+        self.pool = rp.init_pool(cfg.pool_capacity)
+        self.tracker = Tracker(cfg) if cfg.track_on else None
+        self.pgo = PoseGraph(cfg) if cfg.pgo_on else None
+        self.sc = ScanContextManager(cfg) if cfg.pgo_on else None
+        self.campool = CamPool(cfg) if cfg.gs_on else None
+        if self.campool:
+            self.exposure, self.cam_delta = self.campool.init_param_pools()
+        self.rng = np.random.default_rng(cfg.seed)
+        self._key = jax.random.PRNGKey(cfg.seed + 1)
+
+        self.poses: List[np.ndarray] = []       # post-PGO odom poses (f64)
+        self.odom_only_poses: List[np.ndarray] = []
+        self.travel: List[float] = []
+        self.travel_dev = jnp.zeros(MAX_FRAMES)
+        self.T_rel_last = np.eye(4)
+        self.frame_id = -1
+        self.lose_track_count = 0
+        self.aborted = False
+        self.n_loops = 0
+
+        # lazy-built jitted steps / optimizers
+        self._sdf = None          # (opt, params, opt_state, step)
+        self._gs = None           # (opt, params, opt_state, {shape: step})
+        self._local_size = cfg.max_local_points
+
+    # -- helpers ------------------------------------------------------------
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _ensure_sdf(self):
+        if self._sdf is None:
+            opt, params, state = sdf_mapper.init_sdf_train(
+                self.m, self.decoders, self.cfg)
+            step = sdf_mapper.make_sdf_step(self.cfg, opt)
+            self._sdf = [opt, params, state, step]
+
+    def _ensure_gs(self, width: int, height: int):
+        if self._gs is None:
+            opt = gs_mapper.make_gs_optimizer(self.cfg)
+            params = gs_mapper.gs_params(self.m, self.decoders,
+                                         self.exposure, self.cam_delta)
+            state = opt.init(params)
+            self._gs = [opt, params, state, {}]
+        steps = self._gs[3]
+        if (width, height) not in steps:
+            steps[(width, height)] = gs_mapper.make_gsdf_step(
+                self.cfg, self._gs[0], width, height, self._local_size)
+        return steps[(width, height)]
+
+    def _sync_params_from_map(self):
+        """Re-extract trainable leaves after map mutation."""
+        if self._sdf is not None:
+            self._sdf[1] = sdf_mapper.sdf_params(self.m, self.decoders)
+        if self._gs is not None:
+            self._gs[1] = gs_mapper.gs_params(self.m, self.decoders,
+                                              self.exposure, self.cam_delta)
+
+    def _apply_sdf_params(self):
+        self.m, self.decoders = sdf_mapper.apply_sdf_params(
+            self.m, self.decoders, self._sdf[1])
+
+    def _apply_gs_params(self):
+        self.m, self.decoders = gs_mapper.apply_gs_params(
+            self.m, self.decoders, self._gs[1])
+        p = self._gs[1]
+        self.exposure = p["exposure"]
+        self.cam_delta = p["cam_delta"]
+
+    # -- the frame loop -----------------------------------------------------
+    def process_frame(self, frame: dict) -> FrameReport:
+        cfg = self.cfg
+        rep = FrameReport()
+        self.frame_id += 1
+        rep.frame_id = fid = self.frame_id
+        t0 = time.time()
+
+        pre = preprocess_frame(frame, cfg, self.T_rel_last, cfg.deskew)
+        rep.timings["preprocess"] = time.time() - t0
+
+        # ---------- II. odometry ----------
+        t1 = time.time()
+        if fid == 0:
+            T = pre.gt_pose if (pre.gt_pose is not None
+                                and not cfg.track_on) else np.eye(4)
+            if pre.gt_pose is not None and cfg.track_on:
+                T = pre.gt_pose  # anchor world frame at GT start
+            self.poses.append(np.asarray(T, np.float64))
+            self.odom_only_poses.append(self.poses[0].copy())
+            self.travel.append(0.0)
+        else:
+            T_guess = self.poses[-1] @ self.T_rel_last
+            if cfg.track_on:
+                res = self.tracker.track(
+                    self.m, self.decoders, pre.source_points,
+                    pre.source_mask, T_guess)
+                rep.tracking_valid = res.valid and not res.degenerate
+                T = res.T_w_l if rep.tracking_valid else T_guess
+                rep.metrics["track_res_m"] = res.mean_res
+                rep.metrics["track_iter"] = res.iterations
+            else:
+                T = pre.gt_pose if pre.gt_pose is not None else T_guess
+                rep.tracking_valid = True
+            if not rep.tracking_valid:
+                self.lose_track_count += 1
+                if self.lose_track_count > cfg.lose_track_abort_n:
+                    self.aborted = True
+            else:
+                self.lose_track_count = 0
+            self.T_rel_last = hp.se3_inv(self.poses[-1]) @ T
+            self.poses.append(np.asarray(T, np.float64))
+            self.odom_only_poses.append(
+                self.odom_only_poses[-1] @ self.T_rel_last)
+            step_d = float(np.linalg.norm(self.T_rel_last[:3, 3]))
+            self.travel.append(self.travel[-1] + step_d)
+        self.travel_dev = self.travel_dev.at[fid].set(self.travel[-1])
+        rep.pose = self.poses[-1]
+        rep.timings["tracking"] = time.time() - t1
+
+        # ---------- III. loop closure ----------
+        t2 = time.time()
+        if self.pgo is not None:
+            self.pgo.add_frame_node(fid, self.poses[-1])
+            if fid > 0:
+                self.pgo.add_odometry_factor(fid - 1, fid, self.T_rel_last)
+            src_np = pre.source_points[pre.source_mask]
+            if fid % max(cfg.local_map_context_latency, 1) == 0:
+                self.sc.add_node(fid, src_np)
+            if fid > 10 and rep.tracking_valid:
+                rep.loop_closed = self._try_loops(pre, fid, src_np)
+        rep.timings["loop"] = time.time() - t2
+
+        # ---------- IV. map update + SDF supervision ----------
+        t3 = time.time()
+        if rep.tracking_valid and not self.aborted:
+            self._map_update(pre, fid, rep)
+        rep.timings["map_update"] = time.time() - t3
+
+        # ---------- V. training ----------
+        t4 = time.time()
+        if rep.tracking_valid and not self.aborted:
+            self._train(pre, fid, rep)
+        rep.timings["training"] = time.time() - t4
+        rep.n_points = int(self.m.count)
+        return rep
+
+    # -- loop closure internals ---------------------------------------------
+    def _try_loops(self, pre: PreprocessedFrame, fid: int,
+                   src_np: np.ndarray) -> bool:
+        cfg = self.cfg
+        drift = self.pgo.estimate_drift(self.travel[-1])
+        cand = detect_local_loop(self.poses, list(range(len(self.poses))),
+                                 self.travel, fid, drift, cfg)
+        init_T = None
+        cand_fid = None
+        if cand is not None:
+            cand_fid = cand[0]
+            init_T = self.poses[cand_fid]
+        elif cfg.local_map_context and self.sc is not None:
+            hit = self.sc.detect_global_loop(src_np, fid)
+            if hit is not None:
+                cand_fid, _, yaw, side = hit
+                T_c = self.poses[cand_fid].copy()
+                adj = np.eye(4)
+                adj[:3, :3] = hp.so3_exp(np.array([0, 0, -yaw]))
+                adj[:3, 3] = [0.0, -side, 0.0]
+                init_T = T_c @ adj
+        if cand_fid is None:
+            return False
+        # verify by scan-to-map registration from the candidate pose
+        res = self.tracker.track(self.m, self.decoders, pre.source_points,
+                                 pre.source_mask, init_T,
+                                 max_iter=cfg.reg_iter_n) \
+            if self.tracker else None
+        if res is None or not res.valid or res.degenerate:
+            return False
+        T_loop = res.T_w_l  # corrected world pose of the current frame
+        T_i_j = hp.se3_inv(self.poses[cand_fid]) @ T_loop
+        old_poses = [p.copy() for p in self.pgo.poses]
+        if not self.pgo.try_loop_closure(cand_fid, fid, T_i_j):
+            return False
+        # apply corrections: poses, map, pool
+        deltas = self.pgo.pose_deltas(old_poses)
+        self.poses = [p.copy() for p in self.pgo.poses]
+        pad = np.tile(np.eye(4), (MAX_FRAMES - len(deltas), 1, 1))
+        deltas_full = np.concatenate([deltas, pad]).astype(np.float32)
+        dd = jnp.asarray(deltas_full)
+        self.m = npm.recreate_hash(npm.adjust_map(self.m, dd))
+        self.pool = _transform_pool(self.pool, dd)
+        self._sync_params_from_map()
+        # refresh pooled keyframe extrinsics from corrected poses
+        # (reference update_poses_cam_pool, pings.py:604)
+        if self.campool is not None:
+            for pc in self.campool.all_cams():
+                if pc.T_c_l is not None and pc.frame_id < len(self.poses):
+                    T_c_w = pc.T_c_l @ hp.se3_inv(self.poses[pc.frame_id])
+                    pc.cam = pc.cam._replace(
+                        T_c_w=jnp.asarray(T_c_w, jnp.float32))
+        self.pgo.travel_dist_at_loop = self.travel[-1]
+        self.n_loops += 1
+        self.T_rel_last = hp.se3_inv(self.poses[-2]) @ self.poses[-1] \
+            if len(self.poses) > 1 else np.eye(4)
+        return True
+
+    # -- mapping internals ----------------------------------------------------
+    def _map_update(self, pre: PreprocessedFrame, fid: int, rep: FrameReport):
+        cfg = self.cfg
+        T = self.poses[-1]
+        pts_w = (pre.points_l @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+        mask = pre.mask.copy()
+        colors = pre.colors.copy()
+
+        # colorize scan from cameras (reference
+        # project_pointcloud_to_cams, pings.py:301)
+        valid_color = np.zeros(len(pts_w), bool)
+        for cam, cd in pre.cams.items():
+            T_c_w = np.asarray(cd["T_c_l"], np.float64) @ hp.se3_inv(T)
+            c, v = colorize_scan(pts_w, mask, T_c_w, cd["K"], cd["img"])
+            new = v & ~valid_color
+            colors[new] = c[new]
+            valid_color |= new
+
+        jm = jnp.asarray(mask)
+        jp = jnp.asarray(pts_w)
+        jc = jnp.asarray(colors)
+        thre = cfg.local_map_travel_dist_ratio * cfg.local_map_radius
+        self.m = npm.insert_points(
+            self.m, jp, jc, jm,
+            jnp.tile(jnp.array([1.0, 0, 0, 0]), (len(pts_w), 1)),
+            jnp.int32(fid), self.travel_dev, jnp.float32(thre))
+
+        # local map mask (reference reset_local_map)
+        local, _sur = npm.compute_local_mask(
+            self.m, jnp.asarray(T[:3, 3], jnp.float32), jnp.int32(fid),
+            self.travel_dev, jnp.float32(cfg.local_map_radius),
+            jnp.float32(thre), cfg.use_mid_ts)
+        self.m = self.m.replace(local_mask=local)
+
+        # SDF samples -> replay pool
+        origin = T[:3, 3].astype(np.float32)
+        s = sample_rays_cfg(self._next_key(), jp, jc, jm,
+                            jnp.asarray(origin), cfg)
+        self.pool = rp.pool_insert(self.pool, s, jnp.int32(fid),
+                                   self._next_key())
+        # certainty accumulation on endpoints
+        q = npm.query_feature(self.m, jp, k=cfg.query_nn_k,
+                              stencil_r=cfg.num_nei_cells,
+                              search_alpha=cfg.search_alpha)
+        self.m = npm.accumulate_certainty(self.m, q)
+
+    def _train(self, pre: PreprocessedFrame, fid: int, rep: FrameReport):
+        cfg = self.cfg
+        self._ensure_sdf()
+        self._sync_params_from_map()
+        freeze = jnp.asarray(fid >= cfg.freeze_after_frame)
+        iters = cfg.mapping_iters
+        if fid == 0:
+            iters = cfg.mapping_iters * cfg.init_iter_ratio
+        opt, params, state, step = self._sdf
+        do_sdf_only = (not cfg.gs_on) or fid == 0 or not pre.cams
+        if do_sdf_only:
+            for _ in range(iters):
+                batch = rp.pool_batch(self.pool, self._next_key(), cfg.bs,
+                                      min(cfg.bs_new_sample, cfg.bs // 2))
+                params, state, met = step(params, state, batch, self.m,
+                                          self.decoders, freeze)
+            self._sdf[1], self._sdf[2] = params, state
+            self._apply_sdf_params()
+            rep.metrics["sdf_bce"] = float(met.bce)
+
+        if cfg.gs_on and pre.cams:
+            self._train_gs(pre, fid, rep, freeze)
+
+    def _train_gs(self, pre: PreprocessedFrame, fid: int, rep: FrameReport,
+                  freeze):
+        cfg = self.cfg
+        T = self.poses[-1]
+        # register keyframes
+        if fid % max(cfg.gs_keyframe_interval, 1) == 0:
+            for cam_name, cd in pre.cams.items():
+                img = np.asarray(cd["img"], np.float32) / 255.0
+                h, w = img.shape[:2]
+                T_c_w = np.asarray(cd["T_c_l"], np.float64) @ hp.se3_inv(T)
+                depth = cd.get("depth")
+                if depth is None:
+                    pts_w = (pre.points_l @ T[:3, :3].T + T[:3, 3]).astype(
+                        np.float32)
+                    depth = project_scan_to_cam(pts_w, pre.mask, T_c_w,
+                                                cd["K"], w, h)
+                sky = cd.get("sky")
+                cam = CamView(
+                    K=jnp.asarray(cd["K"], jnp.float32),
+                    T_c_w=jnp.asarray(T_c_w, jnp.float32),
+                    rgb=jnp.asarray(img),
+                    depth=jnp.asarray(depth),
+                    sky=jnp.asarray(sky if sky is not None
+                                    else np.zeros((h, w), np.float32)),
+                    frame_id=jnp.int32(fid))
+                self.campool.add_keyframe(
+                    cam, T[:3, 3], fid,
+                    T_c_l=np.asarray(cd["T_c_l"], np.float64))
+
+        if cfg.gs_iters <= 0:
+            return
+        # build steps + params once, then iterate
+        met = None
+        local_idx = jnp.nonzero(self.m.local_mask, size=self._local_size,
+                                fill_value=self.m.capacity)[0]
+        for it in range(cfg.gs_iters):
+            pc = self.campool.sample()
+            if pc is None:
+                return
+            cam = pc.cam
+            h, w = cam.rgb.shape[:2]
+            gstep = self._ensure_gs(w, h)
+            if it == 0:
+                self._sync_params_from_map()
+            opt, params, state, steps = self._gs
+            batch = rp.pool_batch(self.pool, self._next_key(), cfg.bs,
+                                  min(cfg.bs_new_sample, cfg.bs // 2))
+            params, state, met = gstep(
+                params, state, self.m, self.decoders, local_idx,
+                cam, jnp.int32(pc.slot), batch, freeze)
+            self._gs[1], self._gs[2] = params, state
+        if met is not None:
+            self._apply_gs_params()
+            rep.metrics["gs_psnr"] = float(met.psnr)
+            rep.metrics["gs_l1"] = float(met.rgb_l1)
+            rep.metrics["sdf_bce"] = float(met.sdf_bce)
+
+    # -- persistence ----------------------------------------------------------
+    def save(self, path: str):
+        """Checkpoint map + decoders (reference save_implicit_map,
+        tools.py:469-491 -> pin_map.pth; here a .npz)."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        flat = {}
+
+        def put(prefix, tree):
+            leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+            for kp, leaf in leaves:
+                flat[prefix + jax.tree_util.keystr(kp)] = np.asarray(leaf)
+
+        put("map", self.m)
+        put("dec", self.decoders)
+        np.savez_compressed(path, poses=np.stack(self.poses)
+                            if self.poses else np.zeros((0, 4, 4)),
+                            travel=np.asarray(self.travel), **flat)
+
+    def load(self, path: str):
+        data = np.load(path, allow_pickle=False)
+        self.poses = [p for p in data["poses"]]
+        self.travel = list(data["travel"])
+
+        def fill(prefix, tree):
+            leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
+            new = [jnp.asarray(data[prefix + jax.tree_util.keystr(kp)])
+                   for kp, _ in leaves]
+            return jax.tree_util.tree_unflatten(treedef, new)
+
+        self.m = fill("map", self.m)
+        self.decoders = fill("dec", self.decoders)
+
+
+def _transform_pool(pool, deltas: jnp.ndarray):
+    """Re-pose replay-pool samples by their frame's PGO correction
+    (reference transform_data_pool, mapper.py:774-778)."""
+    ts = jnp.clip(pool.ts, 0, deltas.shape[0] - 1)
+    D = deltas[ts]
+    pts = jnp.einsum("nij,nj->ni", D[:, :3, :3], pool.points) + D[:, :3, 3]
+    return pool.replace(points=pts)
