@@ -1,0 +1,87 @@
+"""Headline benchmark: differentiable rasterization forward+backward
+throughput (Mpix/s) on one chip.
+
+Matches the BASELINE.json metric ("Raster fwd+bwd Mpix/s per chip").
+``vs_baseline`` is measured against an A100-class CUDA 3DGS training
+throughput estimate of 50 Mpix/s fwd+bwd (3DGS-style trainers run
+~25-50 training iterations/s at ~1-2 Mpix on A100; the north-star target
+of >3x A100 therefore corresponds to vs_baseline >= 3.0).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_BASELINE_MPIX_S = 50.0
+
+WIDTH, HEIGHT = 1280, 720
+N_GAUSS = 200_000
+MAX_PER_TILE = 512
+WARMUP = 3
+ITERS = 10
+
+
+def make_scene(rng, n):
+    import jax.numpy as jnp
+
+    means = np.stack([
+        rng.uniform(-12, 12, n), rng.uniform(-7, 7, n),
+        rng.uniform(2.0, 30.0, n),
+    ], -1).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    scales = rng.uniform(0.02, 0.12, (n, 3)).astype(np.float32)
+    opa = rng.uniform(0.2, 0.95, n).astype(np.float32)
+    col = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    return tuple(jnp.asarray(x) for x in
+                 (means, quats, scales, opa, col, np.ones(n, bool)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from pings_tpu.ops import rasterize as rz
+
+    rng = np.random.default_rng(0)
+    scene = make_scene(rng, N_GAUSS)
+    K = jnp.array([[900.0, 0, WIDTH / 2], [0, 900.0, HEIGHT / 2],
+                   [0, 0, 1.0]])
+    T = jnp.eye(4)
+    tgt = jnp.asarray(rng.random((HEIGHT, WIDTH, 3)), jnp.float32)
+    z3 = jnp.zeros(3)
+
+    def loss(means, quats, scales, opa, col, valid, theta, rho):
+        out = rz.rasterize(means, quats, scales, opa, col, valid, T, K,
+                           WIDTH, HEIGHT, theta=theta, rho=rho,
+                           max_per_tile=MAX_PER_TILE, chunk=32)
+        return (jnp.mean(jnp.abs(out.rgb - tgt))
+                + 0.01 * jnp.mean(out.depth * out.alpha)
+                + 0.01 * jnp.mean(out.alpha))
+
+    grad_fn = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4, 6, 7)))
+
+    # warmup / compile
+    for _ in range(WARMUP):
+        g = grad_fn(*scene, z3, z3)
+    jax.block_until_ready(g)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        g = grad_fn(*scene, z3, z3)
+    jax.block_until_ready(g)
+    dt = time.perf_counter() - t0
+
+    mpix_s = WIDTH * HEIGHT * ITERS / dt / 1e6
+    print(json.dumps({
+        "metric": "raster_fwd_bwd_mpix_per_s",
+        "value": round(mpix_s, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / A100_BASELINE_MPIX_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

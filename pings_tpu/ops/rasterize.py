@@ -256,7 +256,7 @@ class RenderOutput(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile", "chunk", "normalize_depth",
-                     "cutoff_q", "alpha_floor"))
+                     "cutoff_q", "alpha_floor", "with_contrib"))
 def blend_tiles(
     p: ProjectedGaussians,
     bins: TileBins,
@@ -267,6 +267,7 @@ def blend_tiles(
     normalize_depth: bool = True,
     cutoff_q: float = 9.0,
     alpha_floor: float = 1.0 / 255.0,
+    with_contrib: bool = False,
 ) -> RenderOutput:
     """Front-to-back alpha blending over the per-tile tables.
 
@@ -329,8 +330,11 @@ def blend_tiles(
         acc_n = acc_n + jnp.einsum("tkp,tkc->tpc", w, nor)
         acc_d = acc_d + jnp.sum(w * dep[..., None], axis=1)
         acc_a = acc_a + jnp.sum(w, axis=1)
-        contrib = contrib.at[gi.reshape(-1)].add(
-            jnp.sum(w, axis=-1).reshape(-1), mode="drop")
+        if with_contrib:
+            # TPU scatters are slow; only the map-maintenance path needs
+            # per-gaussian blend contributions
+            contrib = contrib.at[gi.reshape(-1)].add(
+                jnp.sum(w, axis=-1).reshape(-1), mode="drop")
         trans = trans * cp[:, -1, :]
         return (trans, acc_rgb, acc_d, acc_n, acc_a, contrib), None
 
@@ -378,6 +382,7 @@ def rasterize(
     tile: int = 16, max_span: int = 64, max_per_tile: int = 512,
     chunk: int = 32, normalize_depth: bool = True,
     cutoff_q: float = 9.0, alpha_floor: float = 1.0 / 255.0,
+    with_contrib: bool = False,
 ) -> RenderOutput:
     """Full differentiable rasterization: project -> bin -> blend.
 
@@ -399,4 +404,4 @@ def rasterize(
                          max_span=max_span, max_per_tile=max_per_tile)
     return blend_tiles(p, bins, bg, width, height, tile=tile, chunk=chunk,
                        normalize_depth=normalize_depth, cutoff_q=cutoff_q,
-                       alpha_floor=alpha_floor)
+                       alpha_floor=alpha_floor, with_contrib=with_contrib)

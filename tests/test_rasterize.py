@@ -34,7 +34,8 @@ def scene(rng):
 class TestForwardParity:
     def test_tiled_matches_naive(self, scene):
         out_t = rz.rasterize(*scene, T_IDENT, K, W, H, tile=16,
-                             max_span=64, max_per_tile=128, chunk=16)
+                             max_span=64, max_per_tile=128, chunk=16,
+                             with_contrib=True)
         out_r = rasterize_ref(*scene, T_IDENT, K, W, H)
         assert int(out_t.n_overflow) == 0
         np.testing.assert_allclose(out_t.rgb, out_r.rgb, atol=2e-5)
