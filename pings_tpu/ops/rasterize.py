@@ -165,7 +165,15 @@ def mark_visible(means3d: jnp.ndarray, T_c_w: jnp.ndarray, K: jnp.ndarray,
 class TileBins(NamedTuple):
     gauss_idx: jnp.ndarray   # (T, Kmax) int32 indices into the gaussian arrays
     mask: jnp.ndarray        # (T, Kmax) bool
+    pair_loc: jnp.ndarray    # (N, S) i32: t*Kmax + rank of each emitted
+    #                          (gaussian, tile) pair; T*Kmax = dropped.
+    #                          Inverts the table gather so backward passes
+    #                          can scatter-free aggregate per-slot grads.
     n_overflow: jnp.ndarray  # () i32 — pairs dropped by either cap
+
+
+# depth quantization range for the packed sort key (log-spaced)
+_QNEAR, _QFAR = 1e-2, 1e4
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile",
@@ -174,15 +182,18 @@ def bin_gaussians(
     p: ProjectedGaussians,
     width: int, height: int,
     tile: int = 16,
-    max_span: int = 64,
+    max_span: int = 36,
     max_per_tile: int = 512,
 ) -> TileBins:
     """Assign gaussians to image tiles, depth-sorted per tile.
 
     Each gaussian covers tiles [tx0, tx1) x [ty0, ty1) from its pixel
     radius; the span is row-major enumerated up to ``max_span`` pairs.
-    One global lexicographic sort by (tile_id, depth) then yields
-    contiguous per-tile, front-to-back runs."""
+    One global sort on a packed i32 key (tile_id << DB | log-quantized
+    depth) yields contiguous per-tile, front-to-back runs — the same
+    64-bit radix-sort strategy as the reference CUDA rasterizer, with the
+    depth key quantized to DB>=15 bits (ties broken stably by gaussian
+    id, so binning stays deterministic)."""
     ntx = (width + tile - 1) // tile
     nty = (height + tile - 1) // tile
     T = ntx * nty
@@ -213,30 +224,44 @@ def bin_gaussians(
     pair_tile = (ty0[:, None] + ey) * ntx + (tx0[:, None] + ex)   # (N, S)
     pair_ok = p.valid[:, None] & (e[None, :] < span[:, None])
     pair_tile = jnp.where(pair_ok, pair_tile, T)                  # T = dump
-    pair_depth = jnp.broadcast_to(p.depth[:, None], (n, max_span))
+
+    # packed sort key: tile in the high bits, log-quantized depth below
+    db = min(20, 31 - int(np.ceil(np.log2(T + 2))))
+    assert db >= 15, "image too large for the packed i32 sort key"
+    dq = jnp.log(jnp.clip(p.depth, _QNEAR, _QFAR) / _QNEAR)
+    dq = (dq * ((2 ** db - 1) / np.log(_QFAR / _QNEAR))).astype(jnp.int32)
+    key = (pair_tile << db) | jnp.broadcast_to(dq[:, None], (n, max_span))
     pair_gid = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, max_span))
 
-    tile_flat = pair_tile.reshape(-1)
-    depth_flat = pair_depth.reshape(-1)
-    gid_flat = pair_gid.reshape(-1)
-    tile_s, depth_s, gid_s = jax.lax.sort(
-        (tile_flat, depth_flat, gid_flat), num_keys=2)
+    m = n * max_span
+    key_s, gid_s, pos_s = jax.lax.sort(
+        (key.reshape(-1), pair_gid.reshape(-1),
+         jnp.arange(m, dtype=jnp.int32)), num_keys=1)
+    tile_s = key_s >> db
 
     # per-tile ranges
-    starts = jnp.searchsorted(tile_s, jnp.arange(T, dtype=jnp.int32),
-                              side="left")
-    ends = jnp.searchsorted(tile_s, jnp.arange(T, dtype=jnp.int32),
-                            side="right")
-    counts = ends - starts
+    starts = jnp.searchsorted(tile_s, jnp.arange(T + 1, dtype=jnp.int32),
+                              side="left").astype(jnp.int32)
+    counts = starts[1:] - starts[:-1]
     tile_overflow = jnp.sum(jnp.maximum(counts - max_per_tile, 0))
 
     k = jnp.arange(max_per_tile, dtype=jnp.int32)
-    gather = starts[:, None] + k[None, :]                          # (T, Kmax)
+    gather = starts[:T, None] + k[None, :]                         # (T, Kmax)
     mask = k[None, :] < jnp.minimum(counts, max_per_tile)[:, None]
-    gather = jnp.clip(gather, 0, tile_s.shape[0] - 1)
+    gather = jnp.clip(gather, 0, m - 1)
     gidx = gid_s[gather]
-    return TileBins(gauss_idx=gidx, mask=mask,
+
+    # invert the (sort, range-gather) composition: per sorted slot its
+    # (tile, rank) -> flat table location, unsorted back to pair order by
+    # a second single-key sort on the carried original position
+    rank_s = jnp.arange(m, dtype=jnp.int32) - starts[jnp.minimum(tile_s, T)]
+    loc_s = jnp.where((tile_s < T) & (rank_s < max_per_tile),
+                      tile_s * max_per_tile + rank_s, T * max_per_tile)
+    _, loc_orig = jax.lax.sort((pos_s, loc_s), num_keys=1)
+    pair_loc = loc_orig.reshape(n, max_span)
+
+    return TileBins(gauss_idx=gidx, mask=mask, pair_loc=pair_loc,
                     n_overflow=span_overflow + tile_overflow)
 
 
@@ -379,7 +404,7 @@ def rasterize(
     T_c_w, K, width: int, height: int,
     theta=None, rho=None,
     bg=None,
-    tile: int = 16, max_span: int = 64, max_per_tile: int = 512,
+    tile: int = 16, max_span: int = 36, max_per_tile: int = 512,
     chunk: int = 32, normalize_depth: bool = True,
     cutoff_q: float = 9.0, alpha_floor: float = 1.0 / 255.0,
     with_contrib: bool = False,
