@@ -60,12 +60,7 @@ class BaseDataset:
 
 def dataset_factory(name: str, data_path: str, sequence: str = "",
                     cfg=None) -> BaseDataset:
-    # import loader modules lazily so optional deps don't break the package
-    import pings_tpu.data.generic  # noqa: F401
-    import pings_tpu.data.synthetic  # noqa: F401
-    import pings_tpu.data.kitti  # noqa: F401
-    import pings_tpu.data.rgbd  # noqa: F401
-    import pings_tpu.data.rosbag  # noqa: F401
+    _import_loader_modules()
 
     if name not in _REGISTRY:
         raise KeyError(
@@ -74,11 +69,18 @@ def dataset_factory(name: str, data_path: str, sequence: str = "",
     return _REGISTRY[name](data_path, sequence, cfg)
 
 
-def available_loaders():
+def _import_loader_modules():
+    """Import loader modules lazily so optional deps don't break the
+    package."""
     import pings_tpu.data.generic  # noqa: F401
-    import pings_tpu.data.synthetic  # noqa: F401
     import pings_tpu.data.kitti  # noqa: F401
+    import pings_tpu.data.kitti360  # noqa: F401
+    import pings_tpu.data.lidar  # noqa: F401
     import pings_tpu.data.rgbd  # noqa: F401
     import pings_tpu.data.rosbag  # noqa: F401
+    import pings_tpu.data.synthetic  # noqa: F401
 
+
+def available_loaders():
+    _import_loader_modules()
     return sorted(_REGISTRY)

@@ -151,6 +151,49 @@ class TumDataset(_RGBDBase):
         return out
 
 
+@register_loader("bonn")
+class BonnDataset(TumDataset):
+    """Bonn dynamic RGB-D (reference bonn.py): TUM layout with depth
+    scale 5000 and fixed intrinsics."""
+
+    def __init__(self, data_path: str, sequence: str = "", cfg=None):
+        super().__init__(data_path, sequence, cfg)
+        # reference bonn.py fixed camera
+        self.K = np.array([[542.822841, 0, 315.593520],
+                           [0, 542.576870, 237.756098], [0, 0, 1]])
+
+
+@register_loader("azure")
+class AzureDataset(_RGBDBase):
+    """Azure Kinect captures (reference azure.py): color/*.jpg +
+    depth/*.png + intrinsic/intrinsic_color.txt + pose/*.txt."""
+
+    depth_scale = 1000.0
+
+    def __init__(self, data_path: str, sequence: str = "", cfg=None):
+        super().__init__(data_path, sequence, cfg)
+        root = os.path.join(data_path, sequence) if sequence else data_path
+        self.rgb_files = sorted(
+            glob.glob(os.path.join(root, "color", "*.jpg"))
+            or glob.glob(os.path.join(root, "color", "*.png")))
+        self.depth_files = sorted(
+            glob.glob(os.path.join(root, "depth", "*.png")))
+        intr = os.path.join(root, "intrinsic", "intrinsic_color.txt")
+        if os.path.exists(intr):
+            self.K = np.loadtxt(intr)[:3, :3]
+        else:
+            import cv2
+
+            h, w = cv2.imread(self.depth_files[0],
+                              cv2.IMREAD_UNCHANGED).shape[:2]
+            self.K = np.array([[550.0, 0, w / 2], [0, 550.0, h / 2],
+                               [0, 0, 1]])
+        self._gt = None
+        pose_files = sorted(glob.glob(os.path.join(root, "pose", "*.txt")))
+        if pose_files:
+            self._gt = [np.loadtxt(f).reshape(4, 4) for f in pose_files]
+
+
 @register_loader("neuralrgbd")
 class NeuralRGBDDataset(_RGBDBase):
     """NeuralRGBD / Bonn-style layout (reference neuralrgbd.py): images/

@@ -2,33 +2,34 @@
 
 The portable XLA blend (ops/rasterize.blend_tiles) materializes large
 (T, chunk, P) temporaries and its autodiff backward issues per-chunk
-scatters — measured 84 ms fwd / ~500 ms bwd at 200k gaussians, 720p on a
-v5e chip. These kernels keep the whole tile state in VMEM, use the MXU for
-channel accumulation, and implement the analytic 3DGS backward (suffix
-trick) so the gradient pass costs about one extra forward.
+scatters. These kernels keep the whole tile state in VMEM and run the
+blend as full-width (SUPER, P) = (128, 256) vector/matrix ops:
+
+- per-gaussian scalars (mean, conic, opacity) live on the sublane axis,
+  pixels on the lane axis, so broadcasts need no transposes;
+- the prefix products/sums over blend order run as log2(SUPER) shifted
+  ops (pltpu.roll along sublanes), not an unrolled serial chain;
+- channel accumulation and the backward's per-slot direct gradients are
+  single MXU matmuls per superblock ((16,K)@(K,P) and (K,P)@(P,16));
+- the backward is a single front-to-back pass using the suffix identity
+  (see _bwd_kernel), so fwd+bwd costs about two forwards.
 
 Dataflow (one custom_vjp over the whole pack+blend stage):
-- forward: XLA gathers per-tile packed attribute tables (T, 16, Kmax)
+- forward: XLA gathers the per-tile packed attribute table (T, Kmax, 16)
   from the per-gaussian attribute matrix (N, 16) via bins.gauss_idx, then
-  the Pallas kernel maps (T, 16, Kmax) -> (T, 16, P) blended channels +
-  (T, 1, P) final transmittance.
+  the Pallas kernel maps it to (T, 16, P) blended channels + (T, 1, P)
+  final transmittance.
 - backward: the Pallas kernel re-blends front-to-back emitting per-slot
-  gradients d(T, 16, Kmax); XLA aggregates them back onto gaussians with
-  *gathers* via bins.pair_loc (the inverse of the table gather) — no
-  scatter anywhere. rho = sum_c g_c out_c comes free from the saved
-  forward outputs, so the backward kernel is a single pass.
+  gradients (T, Kmax, 16); one XLA scatter-add onto bins.gauss_idx
+  aggregates them per gaussian. (Measured on a v5e chip: the scatter-add
+  costs ~33 ms at 1.8M slots, vs ~240 ms for the gather-based
+  inverse-location scheme and ~70 ms of extra sorts it needed.)
+  rho = sum_c g_c out_c comes free from the saved forward outputs.
 Background compositing and depth normalization stay in XLA (autodiffed).
 
-Memory/compute layout: the gaussian axis is the lane dimension; dynamic
-lane slices must be 128-aligned on TPU, so the kernels stream SUPER=128
-gaussian superblocks (one aligned VMEM load) and blend BLOCK=8 sub-blocks
-with statically-unrolled slices. Channel accumulation runs on the MXU as
-(16, BLOCK) x (BLOCK, P) matmuls.
-
-Attribute channel layout (sublane dim, 16 rows) — chosen so the packed
-block doubles as the output-attribute matrix (rows 0-7 are exactly the
-blended output channels; no in-kernel reassembly, which Mosaic cannot
-lower as a concatenate):
+Attribute channel layout (lane dim, 16 columns) — chosen so the packed
+block doubles as the output-attribute matrix (columns 0-7 are exactly
+the blended output channels):
   0 r, 1 g, 2 b, 3 depth, 4 nx, 5 ny, 6 nz, 7 const 1.0 (alpha channel),
   8 mu_x, 9 mu_y, 10 conic_a, 11 conic_b, 12 conic_c,
   13 opacity (0 = masked), 14-15 pad.
@@ -56,9 +57,8 @@ INTERPRET = False  # set True to run the kernels in interpreter mode (CPU)
 # f32 inputs on the TPU MXU default to one-pass bf16; the blend weights
 # need full f32 (parity target is allclose vs the XLA/VPU arbiter)
 _PREC = jax.lax.Precision.HIGHEST
-SUPER = 128        # aligned lane superblock (dynamic-slice granularity)
-BLOCK = 8          # gaussians blended per unrolled step
-NCH = 16           # packed channel rows (attrs and outputs)
+SUPER = 128        # gaussians blended per superblock (sublane axis)
+NCH = 16           # packed channel columns (attrs and output rows)
 CUTOFF_Q = 9.0
 ALPHA_FLOOR = 1.0 / 255.0
 TRANS_EPS = 1e-4   # early-termination threshold
@@ -68,7 +68,7 @@ def gauss_attr_matrix(p: ProjectedGaussians) -> jnp.ndarray:
     """Per-gaussian packed attribute matrix (N, 16) — differentiable."""
     opa = jnp.where(p.valid, p.opacity, 0.0)
     z = jnp.zeros_like(opa)
-    rows = [
+    cols = [
         p.color[..., 0], p.color[..., 1], p.color[..., 2],
         p.depth,
         p.normal[..., 0], p.normal[..., 1], p.normal[..., 2],
@@ -78,29 +78,26 @@ def gauss_attr_matrix(p: ProjectedGaussians) -> jnp.ndarray:
         opa,
         z, z,
     ]
-    return jnp.stack(rows, axis=1)          # (N, 16)
+    return jnp.stack(cols, axis=1)          # (N, 16)
 
 
 def _pack_table(attr16: jnp.ndarray, bins: TileBins) -> jnp.ndarray:
-    """Gather (N, 16) -> (T, 16, Kmax); masked slots zeroed (their
-    opacity row 13 = 0 makes them blend no-ops)."""
+    """Gather (N, 16) -> (T, Kmax, 16); masked slots zeroed (their
+    opacity column 13 = 0 makes them blend no-ops)."""
     tbl = attr16[bins.gauss_idx]            # (T, Kmax, 16)
-    tbl = jnp.where(bins.mask[..., None], tbl, 0.0)
-    return jnp.swapaxes(tbl, 1, 2)          # (T, 16, Kmax)
+    return jnp.where(bins.mask[..., None], tbl, 0.0)
 
 
 def _unpack_grads(dtable: jnp.ndarray, bins: TileBins,
                   n: int) -> jnp.ndarray:
-    """Aggregate per-slot grads (T, 16, Kmax) -> (N, 16) with gathers.
+    """Aggregate per-slot grads (T, Kmax, 16) -> (N, 16) by scatter-add.
 
-    Each emitted (gaussian, tile) pair owns exactly one table slot
-    (bins.pair_loc); dropped pairs point at the sentinel T*Kmax."""
-    tk, _, kmax = dtable.shape
-    flat = jnp.swapaxes(dtable, 1, 2).reshape(tk * kmax, NCH)
-    loc = bins.pair_loc                      # (N, S)
-    ok = loc < tk * kmax
-    g = flat[jnp.minimum(loc, tk * kmax - 1)]   # (N, S, 16)
-    return jnp.sum(jnp.where(ok[..., None], g, 0.0), axis=1)
+    Masked slots carry exactly-zero gradients (their opacity is 0 so
+    alpha == 0 and the kernel's active mask kills every term), so no
+    mask filter is needed before the add."""
+    flat = dtable.reshape(-1, NCH)
+    idx = bins.gauss_idx.reshape(-1)
+    return jnp.zeros((n, NCH), dtable.dtype).at[idx].add(flat)
 
 
 def _pixel_grid(t, ntx: int, tile: int):
@@ -114,32 +111,40 @@ def _pixel_grid(t, ntx: int, tile: int):
     return px, py
 
 
-def _block_alpha(blk, px, py):
-    """blk (16, BLOCK) -> (alpha, dx, dy, q), each (BLOCK, P)."""
-    col = lambda r: jnp.transpose(blk[r:r + 1, :])   # (BLOCK, 1)
+def _sub_iota(P):
+    return jax.lax.broadcasted_iota(jnp.int32, (SUPER, P), 0)
+
+
+def _prefix_prod(x, iota):
+    """Inclusive cumprod along sublanes (axis 0) in log2(SUPER) steps."""
+    s = 1
+    while s < SUPER:
+        r = pltpu.roll(x, shift=s, axis=0)
+        x = x * jnp.where(iota >= s, r, 1.0)
+        s *= 2
+    return x
+
+
+def _prefix_sum(x, iota):
+    s = 1
+    while s < SUPER:
+        r = pltpu.roll(x, shift=s, axis=0)
+        x = x + jnp.where(iota >= s, r, 0.0)
+        s *= 2
+    return x
+
+
+def _super_alpha(chunk, px, py):
+    """chunk (SUPER, 16) -> (alpha, dx, dy, q, unclamped), each
+    (SUPER, P). Column layout per module docstring."""
+    col = lambda c: chunk[:, c:c + 1]                 # (SUPER, 1)
     dx = px - col(8)
     dy = py - col(9)
     q = col(10) * dx * dx + col(12) * dy * dy + 2.0 * col(11) * dx * dy
-    alpha = col(13) * jnp.exp(-0.5 * q)
-    alpha = jnp.where((q < CUTOFF_Q) & (alpha >= ALPHA_FLOOR), alpha, 0.0)
-    alpha = jnp.minimum(alpha, 0.999)
-    return alpha, dx, dy, q
-
-
-def _cumprod_rows(x):
-    """Inclusive cumprod along the (static, small) sublane axis — Mosaic
-    has no cumprod primitive; BLOCK is small, so unroll."""
-    rows = [x[0:1]]
-    for j in range(1, x.shape[0]):
-        rows.append(rows[-1] * x[j:j + 1])
-    return jnp.concatenate(rows, axis=0)
-
-
-def _cumsum_rows(x):
-    rows = [x[0:1]]
-    for j in range(1, x.shape[0]):
-        rows.append(rows[-1] + x[j:j + 1])
-    return jnp.concatenate(rows, axis=0)
+    araw = col(13) * jnp.exp(-0.5 * q)
+    araw = jnp.where((q < CUTOFF_Q) & (araw >= ALPHA_FLOOR), araw, 0.0)
+    alpha = jnp.minimum(araw, 0.999)
+    return alpha, dx, dy, q, araw < 0.999
 
 
 def _fwd_kernel(attrs_ref, out_ref, trans_ref, *, ntx: int, tile: int,
@@ -147,27 +152,24 @@ def _fwd_kernel(attrs_ref, out_ref, trans_ref, *, ntx: int, tile: int,
     P = tile * tile
     t = pl.program_id(0)
     px, py = _pixel_grid(t, ntx, tile)
+    iota = _sub_iota(P)
 
     def super_body(j, carry):
         acc, trans = carry
         k0 = pl.multiple_of(j * SUPER, SUPER)
-        chunk = attrs_ref[0, :, pl.ds(k0, SUPER)]        # (16, 128)
 
         def compute(_):
-            acc2, trans2 = acc, trans
-            for s in range(SUPER // BLOCK):
-                blk = chunk[:, s * BLOCK:(s + 1) * BLOCK]
-                alpha, _, _, _ = _block_alpha(blk, px, py)
-                cum = _cumprod_rows(1.0 - alpha)
-                excl = jnp.concatenate(
-                    [jnp.ones_like(cum[:1]), cum[:-1]], axis=0)
-                w = alpha * excl * trans2                # (BLOCK, P)
-                # rows 0-7 of blk are the output attrs; rows 8-15
-                # accumulate ignored products
-                acc2 = acc2 + jnp.dot(blk, w,
-                                      preferred_element_type=jnp.float32,
-                                      precision=_PREC)
-                trans2 = trans2 * cum[-1:]
+            chunk = attrs_ref[0, pl.ds(k0, SUPER), :]       # (SUPER, 16)
+            alpha, _, _, _, _ = _super_alpha(chunk, px, py)
+            cum = _prefix_prod(1.0 - alpha, iota)           # (SUPER, P)
+            excl = jnp.where(iota >= 1, pltpu.roll(cum, shift=1, axis=0),
+                             1.0)
+            w = alpha * excl * trans                        # (SUPER, P)
+            # acc (16, P) += chunk^T @ w on the MXU
+            acc2 = acc + jax.lax.dot_general(
+                chunk, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC)
+            trans2 = trans * cum[SUPER - 1:SUPER, :]
             return acc2, trans2
 
         return jax.lax.cond(jnp.max(trans) > TRANS_EPS, compute,
@@ -179,6 +181,11 @@ def _fwd_kernel(attrs_ref, out_ref, trans_ref, *, ntx: int, tile: int,
                                    (acc0, trans0))
     out_ref[0] = acc
     trans_ref[0] = trans
+
+
+def _lane_onehot(c: int):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, NCH), 1)
+    return (lane == c).astype(jnp.float32)
 
 
 def _bwd_kernel(attrs_ref, gout_ref, gtrans_ref, rho_ref, transf_ref,
@@ -193,101 +200,86 @@ def _bwd_kernel(attrs_ref, gout_ref, gtrans_ref, rho_ref, transf_ref,
     P = tile * tile
     t = pl.program_id(0)
     px, py = _pixel_grid(t, ntx, tile)
+    iota = _sub_iota(P)
     g = gout_ref[0]                         # (16, P)
     g_trans = gtrans_ref[0]                 # (1, P)
     rho = rho_ref[0]                        # (1, P)
     trans_final = transf_ref[0]             # (1, P)
-    nsuper = kmax // SUPER
 
-    def p2_body(j, sigma, trans, scratch):
+    def super_body(j, carry):
         k0 = pl.multiple_of(j * SUPER, SUPER)
 
-        def compute(carry):
-            sigma2, trans2 = carry
-            chunk = attrs_ref[0, :, pl.ds(k0, SUPER)]
-            for s in range(SUPER // BLOCK):
-                sl = slice(s * BLOCK, (s + 1) * BLOCK)
-                blk = chunk[:, sl]
-                alpha, dx, dy, q = _block_alpha(blk, px, py)
-                one_m = 1.0 - alpha
-                one_m_safe = jnp.maximum(one_m, 1e-3)
-                cum = _cumprod_rows(one_m)
-                excl = jnp.concatenate(
-                    [jnp.ones_like(cum[:1]), cum[:-1]], axis=0)
-                T_i = excl * trans2                      # (BLOCK, P)
-                w = alpha * T_i
-                phi = jnp.dot(jnp.transpose(blk), g,
-                              preferred_element_type=jnp.float32,
-                              precision=_PREC)
-                d_out = jnp.dot(g, jnp.transpose(w),
-                                preferred_element_type=jnp.float32,
-                                precision=_PREC)         # (16, BLOCK)
+        def compute(c):
+            sigma, trans = c
+            chunk = attrs_ref[0, pl.ds(k0, SUPER), :]       # (SUPER, 16)
+            alpha, dx, dy, q, unclamped = _super_alpha(chunk, px, py)
+            one_m = 1.0 - alpha
+            one_m_safe = jnp.maximum(one_m, 1e-3)
+            cum = _prefix_prod(one_m, iota)
+            excl = jnp.where(iota >= 1, pltpu.roll(cum, shift=1, axis=0),
+                             1.0)
+            T_i = excl * trans                               # (SUPER, P)
+            w = alpha * T_i
+            # phi (SUPER, P) = chunk @ g on the MXU
+            phi = jax.lax.dot_general(
+                chunk, g, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC)
+            sigma_i = sigma + _prefix_sum(w * phi, iota)  # (SUPER, P)
+            da = (phi * T_i - (rho - sigma_i) / one_m_safe
+                  - g_trans * trans_final / one_m_safe)
+            active = alpha > 0.0
+            da = jnp.where(active, da, 0.0)
+            # alpha = min(opa*exp(-.5q), 0.999): zero grad where clamped
+            dq = jnp.where(unclamped, -0.5 * alpha * da, 0.0)
+            dexp = jnp.where(active & unclamped,
+                             jnp.exp(-0.5 * q) * da, 0.0)
+            col = lambda cc: chunk[:, cc:cc + 1]
+            red = lambda x: jnp.sum(x, axis=1, keepdims=True)  # (SUPER,1)
+            dopa = red(dexp)
+            dA = red(dq * dx * dx)
+            dB = red(2.0 * dq * dx * dy)
+            dC = red(dq * dy * dy)
+            # q = A dx^2 + C dy^2 + 2B dx dy, dx = px - mu_x:
+            # dq/dmu_x = -(2A dx + 2B dy), dq/dmu_y = -(2C dy + 2B dx)
+            dmux = red(dq * (-2.0 * col(10) * dx - 2.0 * col(11) * dy))
+            dmuy = red(dq * (-2.0 * col(12) * dy - 2.0 * col(11) * dx))
 
-                csum = _cumsum_rows(w * phi)
-                sigma_i = sigma2 + csum
-                da = (phi * T_i - (rho - sigma_i) / one_m_safe
-                      - g_trans * trans_final / one_m_safe)
-                active = alpha > 0.0
-                da = jnp.where(active, da, 0.0)
+            # direct channel grads (SUPER, 16) = w @ g^T on the MXU;
+            # column 7 is the constant-1 alpha row (gradient dropped by
+            # the attr-matrix vjp), columns 8-13 add the geometry grads
+            # as one-hot outer products (no partial stores).
+            d_chunk = jax.lax.dot_general(
+                w, g, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC)
+            d_chunk = (d_chunk
+                       + dmux * _lane_onehot(8) + dmuy * _lane_onehot(9)
+                       + dA * _lane_onehot(10) + dB * _lane_onehot(11)
+                       + dC * _lane_onehot(12) + dopa * _lane_onehot(13))
+            dattrs_ref[0, pl.ds(k0, SUPER), :] = d_chunk
+            return (sigma_i[SUPER - 1:SUPER, :],
+                    trans * cum[SUPER - 1:SUPER, :])
 
-                dq = -0.5 * alpha * da
-                dopa = jnp.sum(jnp.where(active, jnp.exp(-0.5 * q), 0.0)
-                               * da, axis=1, keepdims=True)  # (BLOCK, 1)
-                col = lambda r: jnp.transpose(blk[r:r + 1, :])
-                dA = jnp.sum(dq * dx * dx, axis=1, keepdims=True)
-                dB = jnp.sum(2.0 * dq * dx * dy, axis=1, keepdims=True)
-                dC = jnp.sum(dq * dy * dy, axis=1, keepdims=True)
-                # q = A dx^2 + C dy^2 + 2B dx dy, dx = px - mu_x:
-                # dq/dmu_x = -(2A dx + 2B dy), dq/dmu_y = -(2C dy + 2B dx)
-                dmux = jnp.sum(
-                    dq * (-2.0 * col(10) * dx - 2.0 * col(11) * dy),
-                    axis=1, keepdims=True)
-                dmuy = jnp.sum(
-                    dq * (-2.0 * col(12) * dy - 2.0 * col(11) * dx),
-                    axis=1, keepdims=True)
+        def skip(c):
+            dattrs_ref[0, pl.ds(k0, SUPER), :] = jnp.zeros(
+                (SUPER, NCH), jnp.float32)
+            return c
 
-                # rows 0-7 (out attrs): direct channel grads; row 7 is the
-                # constant-1 alpha row (no gradient)
-                scratch[0:7, sl] = d_out[0:7]
-                scratch[7:8, sl] = jnp.zeros((1, BLOCK), jnp.float32)
-                scratch[8:9, sl] = jnp.transpose(dmux)
-                scratch[9:10, sl] = jnp.transpose(dmuy)
-                scratch[10:11, sl] = jnp.transpose(dA)
-                scratch[11:12, sl] = jnp.transpose(dB)
-                scratch[12:13, sl] = jnp.transpose(dC)
-                scratch[13:14, sl] = jnp.transpose(dopa)
-                scratch[14:16, sl] = jnp.zeros((2, BLOCK), jnp.float32)
-                sigma2 = sigma2 + csum[-1:]
-                trans2 = trans2 * cum[-1:]
-            return sigma2, trans2
+        return jax.lax.cond(jnp.max(carry[1]) > TRANS_EPS, compute, skip,
+                            carry)
 
-        def skip(carry):
-            scratch[...] = jnp.zeros((NCH, SUPER), jnp.float32)
-            return carry
-
-        sigma, trans = jax.lax.cond(jnp.max(trans) > TRANS_EPS, compute,
-                                    skip, (sigma, trans))
-        dattrs_ref[0, :, pl.ds(k0, SUPER)] = scratch[...]
-        return sigma, trans
-
-    def run(scratch):
-        jax.lax.fori_loop(
-            0, nsuper,
-            lambda j, c: p2_body(j, c[0], c[1], scratch),
-            (jnp.zeros((1, P), jnp.float32),
-             jnp.ones((1, P), jnp.float32)))
-
-    pl.run_scoped(run, pltpu.VMEM((NCH, SUPER), jnp.float32))
+    jax.lax.fori_loop(0, kmax // SUPER, super_body,
+                      (jnp.zeros((1, P), jnp.float32),
+                       jnp.ones((1, P), jnp.float32)))
 
 
 def _blend_fwd_call(attrs, ntx, nty, tile):
-    T, _, kmax = attrs.shape
+    T, kmax, _ = attrs.shape
     P = tile * tile
     kern = functools.partial(_fwd_kernel, ntx=ntx, tile=tile, kmax=kmax)
     out, trans = pl.pallas_call(
         kern,
         grid=(T,),
-        in_specs=[pl.BlockSpec((1, NCH, kmax), lambda t: (t, 0, 0),
+        in_specs=[pl.BlockSpec((1, kmax, NCH), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(
             pl.BlockSpec((1, NCH, P), lambda t: (t, 0, 0),
@@ -306,7 +298,7 @@ def _blend_fwd_call(attrs, ntx, nty, tile):
 
 def _blend_bwd_call(attrs, g_out, g_trans, rho, trans_final, ntx, nty,
                     tile):
-    T, _, kmax = attrs.shape
+    T, kmax, _ = attrs.shape
     P = tile * tile
     kern = functools.partial(_bwd_kernel, ntx=ntx, tile=tile, kmax=kmax)
     specs_p = lambda c: pl.BlockSpec((1, c, P), lambda t: (t, 0, 0),
@@ -315,13 +307,13 @@ def _blend_bwd_call(attrs, g_out, g_trans, rho, trans_final, ntx, nty,
         kern,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, NCH, kmax), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, kmax, NCH), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             specs_p(NCH), specs_p(1), specs_p(1), specs_p(1),
         ],
-        out_specs=pl.BlockSpec((1, NCH, kmax), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, kmax, NCH), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, NCH, kmax), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, kmax, NCH), jnp.float32),
         interpret=INTERPRET,
     )(attrs, g_out, g_trans, rho, trans_final)
     return dattrs
@@ -332,7 +324,7 @@ def _blend_gaussians(attr16, bins: TileBins, ntx: int, nty: int,
                      tile: int):
     """(N, 16) attrs + bins -> (T, 16, P) blended channels, (T, 1, P)
     final transmittance. One custom_vjp over pack+blend so the backward
-    aggregates slot grads with gathers (bins.pair_loc), never scatters."""
+    aggregates per-slot grads with a single scatter-add."""
     attrs = _pack_table(attr16, bins)
     return _blend_fwd_call(attrs, ntx, nty, tile)
 

@@ -80,6 +80,10 @@ def project_gaussians(
     near: float = 0.01,
     far: float = 1e4,
 ) -> ProjectedGaussians:
+    # Everything below is structure-of-arrays: per-gaussian quantities are
+    # kept as separate (N,) vectors so the N axis lands on TPU lanes.
+    # Batched (N, 3, 3) matmuls (the naive formulation) pad the 3-wide
+    # dims to full tiles and ran ~100x slower.
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     R_cw = T_c_w[:3, :3]
     t_cam = means3d @ R_cw.T + T_c_w[:3, 3]
@@ -90,28 +94,41 @@ def project_gaussians(
     v = fy * t_cam[:, 1] / tz_safe + cy
     means2d = jnp.stack([u, v], axis=-1)
 
-    # 3D covariance
-    Rg = quat_to_rotmat(quats)                        # (N, 3, 3)
-    S = scales[..., None, :] * jnp.eye(3)             # (N, 3, 3) diag
-    M = Rg @ S
-    cov3d = M @ M.mT                                  # (N, 3, 3)
+    # gaussian rotation entries as 9 (N,) arrays
+    q = quats / jnp.sqrt(jnp.sum(quats * quats, axis=-1, keepdims=True)
+                         + 1e-12)
+    qw, qx, qy, qz = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    g = [[1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz),
+          2 * (qx * qz + qw * qy)],
+         [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz),
+          2 * (qy * qz - qw * qx)],
+         [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx),
+          1 - 2 * (qx * qx + qy * qy)]]
 
-    # EWA: J (2x3) perspective Jacobian with the 3DGS frustum clamp
+    # V = R_cw @ Rg with scalar R_cw coefficients
+    V = [[sum(R_cw[i, k] * g[k][j] for k in range(3)) for j in range(3)]
+         for i in range(3)]
+
+    # EWA: M = J @ V where J = [[fx/z, 0, -fx tx'/z^2],
+    #                           [0, fy/z, -fy ty'/z^2]] (3DGS frustum clamp)
     lim_x = 1.3 * (width / (2.0 * fx))
     lim_y = 1.3 * (height / (2.0 * fy))
-    txz = jnp.clip(t_cam[:, 0] / tz_safe, -lim_x, lim_x) * tz_safe
-    tyz = jnp.clip(t_cam[:, 1] / tz_safe, -lim_y, lim_y) * tz_safe
-    z2 = tz_safe * tz_safe
-    zeros = jnp.zeros_like(tz)
-    J = jnp.stack([
-        fx / tz_safe, zeros, -fx * txz / z2,
-        zeros, fy / tz_safe, -fy * tyz / z2,
-    ], axis=-1).reshape(-1, 2, 3)
-    W = jnp.broadcast_to(R_cw, (means3d.shape[0], 3, 3))
-    cov2d = J @ W @ cov3d @ W.mT @ J.mT               # (N, 2, 2)
-    a = cov2d[:, 0, 0] + LOWPASS
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1] + LOWPASS
+    txz = jnp.clip(t_cam[:, 0] / tz_safe, -lim_x, lim_x)
+    tyz = jnp.clip(t_cam[:, 1] / tz_safe, -lim_y, lim_y)
+    inv_z = 1.0 / tz_safe
+    j00, j02 = fx * inv_z, -fx * txz * inv_z
+    j11, j12 = fy * inv_z, -fy * tyz * inv_z
+    # B = M * diag(scales): B_ij = (J @ V)_ij * s_j
+    s0, s1, s2 = scales[:, 0], scales[:, 1], scales[:, 2]
+    b0 = [(j00 * V[0][0] + j02 * V[2][0]) * s0,
+          (j00 * V[0][1] + j02 * V[2][1]) * s1,
+          (j00 * V[0][2] + j02 * V[2][2]) * s2]
+    b1 = [(j11 * V[1][0] + j12 * V[2][0]) * s0,
+          (j11 * V[1][1] + j12 * V[2][1]) * s1,
+          (j11 * V[1][2] + j12 * V[2][2]) * s2]
+    a = b0[0] * b0[0] + b0[1] * b0[1] + b0[2] * b0[2] + LOWPASS
+    b = b0[0] * b1[0] + b0[1] * b1[1] + b0[2] * b1[2]
+    c = b1[0] * b1[0] + b1[1] * b1[1] + b1[2] * b1[2] + LOWPASS
     det = a * c - b * b
     det_safe = jnp.maximum(det, 1e-12)
     conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], axis=-1)
@@ -130,8 +147,7 @@ def project_gaussians(
     radius = jnp.where(ok, radius, 0.0)
 
     # surfel normal: rotated z column, flipped toward the camera
-    n_world = Rg[:, :, 2]
-    n_cam = n_world @ R_cw.T
+    n_cam = jnp.stack([V[0][2], V[1][2], V[2][2]], axis=-1)
     flip = jnp.where(n_cam[:, 2:3] > 0, -1.0, 1.0)
     n_cam = n_cam * flip
 
@@ -165,15 +181,51 @@ def mark_visible(means3d: jnp.ndarray, T_c_w: jnp.ndarray, K: jnp.ndarray,
 class TileBins(NamedTuple):
     gauss_idx: jnp.ndarray   # (T, Kmax) int32 indices into the gaussian arrays
     mask: jnp.ndarray        # (T, Kmax) bool
-    pair_loc: jnp.ndarray    # (N, S) i32: t*Kmax + rank of each emitted
-    #                          (gaussian, tile) pair; T*Kmax = dropped.
-    #                          Inverts the table gather so backward passes
-    #                          can scatter-free aggregate per-slot grads.
     n_overflow: jnp.ndarray  # () i32 — pairs dropped by either cap
 
 
 # depth quantization range for the packed sort key (log-spaced)
 _QNEAR, _QFAR = 1e-2, 1e4
+
+
+def _build_gidx_table(gid_s: jnp.ndarray, starts: jnp.ndarray, T: int,
+                      kmax: int) -> jnp.ndarray:
+    """(m,) tile-sorted gaussian ids + (T+1,) run starts -> (T, kmax).
+
+    The rows are contiguous windows gid_s[starts[t] : starts[t]+kmax], so
+    on TPU a tiny Pallas kernel DMAs each window directly instead of the
+    equivalent XLA gather (which treats the 1.8M indices as random access
+    and runs ~30x slower than these sequential copies)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = gid_s.shape[0]
+    pad = jnp.zeros((kmax,), gid_s.dtype)
+    gid_pad = jnp.concatenate([gid_s, pad])
+
+    if jax.default_backend() == "cpu":
+        k = jnp.arange(kmax, dtype=jnp.int32)
+        return gid_pad[starts[:T, None] + k[None, :]]
+
+    def kern(starts_ref, gid_ref, out_ref, sem):
+        t = pl.program_id(0)
+        s = starts_ref[t]
+        cp = pltpu.make_async_copy(gid_ref.at[pl.ds(s, kmax)],
+                                   out_ref.at[0], sem)
+        cp.start()
+        cp.wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, kmax), lambda t, starts: (t, 0)),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, kmax), gid_s.dtype),
+    )(starts, gid_pad)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile",
@@ -235,9 +287,8 @@ def bin_gaussians(
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, max_span))
 
     m = n * max_span
-    key_s, gid_s, pos_s = jax.lax.sort(
-        (key.reshape(-1), pair_gid.reshape(-1),
-         jnp.arange(m, dtype=jnp.int32)), num_keys=1)
+    key_s, gid_s = jax.lax.sort(
+        (key.reshape(-1), pair_gid.reshape(-1)), num_keys=1)
     tile_s = key_s >> db
 
     # per-tile ranges
@@ -247,21 +298,10 @@ def bin_gaussians(
     tile_overflow = jnp.sum(jnp.maximum(counts - max_per_tile, 0))
 
     k = jnp.arange(max_per_tile, dtype=jnp.int32)
-    gather = starts[:T, None] + k[None, :]                         # (T, Kmax)
     mask = k[None, :] < jnp.minimum(counts, max_per_tile)[:, None]
-    gather = jnp.clip(gather, 0, m - 1)
-    gidx = gid_s[gather]
+    gidx = _build_gidx_table(gid_s, starts, T, max_per_tile)
 
-    # invert the (sort, range-gather) composition: per sorted slot its
-    # (tile, rank) -> flat table location, unsorted back to pair order by
-    # a second single-key sort on the carried original position
-    rank_s = jnp.arange(m, dtype=jnp.int32) - starts[jnp.minimum(tile_s, T)]
-    loc_s = jnp.where((tile_s < T) & (rank_s < max_per_tile),
-                      tile_s * max_per_tile + rank_s, T * max_per_tile)
-    _, loc_orig = jax.lax.sort((pos_s, loc_s), num_keys=1)
-    pair_loc = loc_orig.reshape(n, max_span)
-
-    return TileBins(gauss_idx=gidx, mask=mask, pair_loc=pair_loc,
+    return TileBins(gauss_idx=gidx, mask=mask,
                     n_overflow=span_overflow + tile_overflow)
 
 

@@ -122,5 +122,22 @@ def quat_to_rotmat(q: np.ndarray) -> np.ndarray:
     ])
 
 
+def quat_xyzw_to_rotmat(q: np.ndarray) -> np.ndarray:
+    """Batched (N, 4) xyzw quaternions -> (N, 3, 3) rotation matrices
+    (the convention of dataset ground-truth files, e.g. reference
+    apollo.py:61-63, ncd.py:95-100)."""
+    q = np.asarray(q, dtype=np.float64)
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return np.stack([
+        np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                  2 * (x * z + w * y)], -1),
+        np.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                  2 * (y * z - w * x)], -1),
+        np.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                  1 - 2 * (x * x + y * y)], -1),
+    ], axis=-2)
+
+
 def rotation_angle_deg(R: np.ndarray) -> float:
     return float(np.degrees(np.linalg.norm(so3_log(R))))

@@ -1,0 +1,204 @@
+"""Round-trip tests for the dataset loaders on synthesized on-disk data."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from pings_tpu.data.base import available_loaders, dataset_factory
+from pings_tpu.data.pointcloud_io import read_pcd, read_ply
+
+
+def _write_pcd_binary(path, xyz, time=None):
+    fields, types = ["x", "y", "z"], ["F", "F", "F"]
+    cols = [xyz[:, 0], xyz[:, 1], xyz[:, 2]]
+    if time is not None:
+        fields.append("time")
+        types.append("F")
+        cols.append(time)
+    n = len(xyz)
+    hdr = (f"VERSION .7\nFIELDS {' '.join(fields)}\n"
+           f"SIZE {' '.join(['4'] * len(fields))}\n"
+           f"TYPE {' '.join(types)}\n"
+           f"COUNT {' '.join(['1'] * len(fields))}\n"
+           f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
+           f"POINTS {n}\nDATA binary\n")
+    arr = np.stack(cols, -1).astype("<f4")
+    with open(path, "wb") as f:
+        f.write(hdr.encode())
+        f.write(arr.tobytes())
+
+
+def _write_ply_binary(path, xyz, rgb=None):
+    props = ["property float x", "property float y", "property float z"]
+    cols = [xyz[:, 0].astype("<f4"), xyz[:, 1].astype("<f4"),
+            xyz[:, 2].astype("<f4")]
+    dtype = [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]
+    if rgb is not None:
+        props += ["property uchar red", "property uchar green",
+                  "property uchar blue"]
+        dtype += [("red", "u1"), ("green", "u1"), ("blue", "u1")]
+        cols += [rgb[:, 0], rgb[:, 1], rgb[:, 2]]
+    arr = np.zeros(len(xyz), dtype=dtype)
+    for (name, *_), c in zip(dtype, cols):
+        arr[name] = c
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element vertex {len(xyz)}\n".encode())
+        f.write(("\n".join(props) + "\nend_header\n").encode())
+        f.write(arr.tobytes())
+
+
+def test_pcd_binary_roundtrip(tmp_path, rng):
+    xyz = rng.normal(size=(100, 3)).astype(np.float32)
+    t = rng.random(100).astype(np.float32)
+    p = str(tmp_path / "a.pcd")
+    _write_pcd_binary(p, xyz, t)
+    out = read_pcd(p)
+    np.testing.assert_allclose(out["xyz"], xyz, rtol=1e-6)
+    np.testing.assert_allclose(out["time"], t, rtol=1e-6)
+
+
+def test_ply_binary_roundtrip(tmp_path, rng):
+    xyz = rng.normal(size=(50, 3)).astype(np.float32)
+    rgb = (rng.random((50, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "a.ply")
+    _write_ply_binary(p, xyz, rgb)
+    out = read_ply(p)
+    np.testing.assert_allclose(out["xyz"], xyz, rtol=1e-6)
+    np.testing.assert_allclose(out["rgb"], rgb.astype(np.float32) / 255.0,
+                               atol=1e-6)
+
+
+def test_available_loaders_inventory():
+    have = set(available_loaders())
+    expected = {"generic", "synthetic", "kitti", "kitti360", "replica",
+                "tum", "bonn", "azure", "neuralrgbd", "mulran", "ncd",
+                "nclt", "apollo", "helipr", "rosbag", "mcap", "ouster"}
+    assert expected <= have, expected - have
+
+
+def test_mulran_loader(tmp_path, rng):
+    d = tmp_path / "seq"
+    (d / "Ouster").mkdir(parents=True)
+    n = 64 * 1024
+    stamps = [1560000000000000000 + i * 100000000 for i in range(3)]
+    for t in stamps:
+        pts = rng.normal(size=(n, 4)).astype(np.float32)
+        pts.tofile(str(d / "Ouster" / f"{t}.bin"))
+    rows = []
+    for i, t in enumerate(stamps):
+        T = np.eye(4)
+        T[0, 3] = i * 1.0
+        rows.append([t] + list(T[:3, :4].reshape(-1)))
+    np.savetxt(str(d / "global_pose.csv"), np.array(rows), delimiter=",")
+    ds = dataset_factory("mulran", str(d))
+    assert len(ds) == 3
+    fr = ds[1]
+    assert fr["points"].shape == (n, 3)
+    assert fr["point_ts"].shape == (n,)
+    gt = ds.gt_poses()
+    assert len(gt) == 3
+    np.testing.assert_allclose(gt[0], np.eye(4), atol=1e-9)
+
+
+def test_apollo_loader(tmp_path, rng):
+    d = tmp_path / "seq"
+    (d / "pcds").mkdir(parents=True)
+    (d / "poses").mkdir()
+    for i in range(1, 4):
+        _write_pcd_binary(str(d / "pcds" / f"{i}.pcd"),
+                          rng.normal(size=(30, 3)).astype(np.float32))
+    rows = [[i, i, 0.5 * i, 0, 0, 0, 0, 0, 1] for i in range(3)]
+    np.savetxt(str(d / "poses" / "gt_poses.txt"), np.array(rows, float))
+    ds = dataset_factory("apollo", str(d))
+    assert len(ds) == 3
+    fr = ds[0]
+    assert fr["points"].shape == (30, 3)
+    gt = ds.gt_poses()
+    np.testing.assert_allclose(gt[1][0, 3], 0.5, atol=1e-9)
+
+
+def test_nclt_loader(tmp_path, rng):
+    d = tmp_path / "2012-01-08"
+    (d / "velodyne_sync").mkdir(parents=True)
+    (tmp_path / "ground_truth").mkdir()
+    stamps = [1326000000000000 + i * 100000 for i in range(3)]
+    for t in stamps:
+        raw = (rng.normal(size=(40, 4)) * 100).astype(np.int16)
+        raw.tofile(str(d / "velodyne_sync" / f"{t}.bin"))
+    gt_t = np.linspace(stamps[0] - 10, stamps[-1] + 10, 50)
+    gt = np.stack([gt_t] + [np.linspace(0, 1, 50)] * 6, -1)
+    np.savetxt(str(tmp_path / "ground_truth" /
+                   "groundtruth_2012-01-08.csv"), gt, delimiter=",")
+    ds = dataset_factory("nclt", str(d))
+    assert len(ds) == 3
+    assert ds[0]["points"].shape[1] == 3
+    assert len(ds.gt_poses()) == 3
+
+
+def test_helipr_loader(tmp_path, rng):
+    (tmp_path / "LiDAR" / "Velodyne").mkdir(parents=True)
+    (tmp_path / "LiDAR_GT").mkdir()
+    stamps = [1690000000000000000 + i for i in range(2)]
+    for t in stamps:
+        with open(str(tmp_path / "LiDAR" / "Velodyne" / f"{t}.bin"),
+                  "wb") as f:
+            for k in range(20):
+                f.write(struct.pack("=ffffHf", k * 0.1, k * 0.2, 1.0,
+                                    10.0, 3, k * 1e-4))
+    with open(str(tmp_path / "LiDAR_GT" / "Velodyne_gt.txt"), "w") as f:
+        for i, t in enumerate(stamps):
+            f.write(f"{t} {i * 0.5} 0 0 0 0 0 1\n")
+    ds = dataset_factory("helipr", str(tmp_path), "Velodyne")
+    assert len(ds) == 2
+    fr = ds[0]
+    assert fr["points"].shape == (20, 3)
+    assert fr["point_ts"].min() >= 0 and fr["point_ts"].max() <= 1
+    assert len(ds.gt_poses()) == 2
+
+
+def test_ncd_loader(tmp_path, rng):
+    d = tmp_path / "quad"
+    (d / "raw_format" / "ouster_scan").mkdir(parents=True)
+    (d / "ground_truth").mkdir()
+    for i in range(2):
+        _write_pcd_binary(
+            str(d / "raw_format" / "ouster_scan" /
+                f"cloud_158383659{i}_18259097{i}.pcd"),
+            rng.normal(size=(64 * 1024, 3)).astype(np.float32))
+    rows = [[i, 0, i * 0.1, 0, 0, 0, 0, 0, 1] for i in range(2)]
+    np.savetxt(str(d / "ground_truth" / "registered_poses.csv"),
+               np.array(rows, float), delimiter=",")
+    ds = dataset_factory("ncd", str(d))
+    assert len(ds) == 2
+    assert ds[0]["points"].shape == (64 * 1024, 3)
+    np.testing.assert_allclose(ds.gt_poses()[0], np.eye(4), atol=1e-9)
+
+
+def test_kitti360_loader(tmp_path, rng):
+    seq = "2013_05_28_drive_0000_sync"
+    lid = tmp_path / "data_3d_raw" / seq / "velodyne_points" / "data"
+    lid.mkdir(parents=True)
+    (tmp_path / "calibration").mkdir()
+    (tmp_path / "data_poses" / seq).mkdir(parents=True)
+    for i in range(2):
+        rng.normal(size=(50, 4)).astype(np.float32).tofile(
+            str(lid / f"{i:010d}.bin"))
+    with open(str(tmp_path / "calibration" / "calib_cam_to_velo.txt"),
+              "w") as f:
+        f.write("0 -1 0 0.3  0 0 -1 -0.1  1 0 0 -0.05")
+    rows = [[i] + list(np.eye(4)[:3, :4].reshape(-1)) for i in range(2)]
+    np.savetxt(str(tmp_path / "data_poses" / seq / "poses.txt"),
+               np.array(rows, float))
+    ds = dataset_factory("kitti360", str(tmp_path), "0000")
+    assert len(ds) == 2
+    fr = ds[0]
+    assert fr["points"].shape == (50, 3)
+    assert len(ds.gt_poses()) == 2
+
+
+def test_bonn_azure_register():
+    assert "bonn" in available_loaders()
+    assert "azure" in available_loaders()
