@@ -33,7 +33,7 @@ from pings_tpu.models import neural_points as npm
 from pings_tpu.models.renderer import (
     CamView, ExposureParams, apply_exposure, depth_to_normal, render,
 )
-from pings_tpu.models.spawn import LocalPointData, spawn_gaussians
+from pings_tpu.models.spawn import spawn_kwargs_from_cfg, LocalPointData, spawn_gaussians
 from pings_tpu.ops import rasterize as rz
 from pings_tpu.ops.ssim import dssim_loss
 
@@ -113,18 +113,7 @@ def make_gsdf_step(cfg, optimizer, width: int, height: int,
     step(params, opt_state, static_map, decoders, local_idx, cam,
          cam_slot, sdf_batch, freeze_geo) -> (params, opt_state, metrics)
     """
-    spawn_kwargs = dict(
-        spawn_k=cfg.spawn_n_gaussian,
-        voxel_size=cfg.voxel_size_m,
-        displacement_range_ratio=cfg.displacement_range_ratio,
-        unit_scale_ratio=cfg.unit_scale_ratio,
-        max_scale_ratio=cfg.max_scale_ratio,
-        surfel_mode=(cfg.gs_type == "gaussian_surfel"),
-        dist_concat=cfg.dist_concat_on,
-        view_concat=cfg.view_concat_on,
-        color_residual=cfg.learn_color_residual,
-        max_range=cfg.max_range,
-    )
+    spawn_kwargs = spawn_kwargs_from_cfg(cfg)
     sigma_scale = cfg.logistic_gaussian_ratio * cfg.sigma_sigmoid_m
     sigma = cfg.sigma_sigmoid_m
     k = cfg.query_nn_k

@@ -66,6 +66,23 @@ def gather_local_data(m, mask: jnp.ndarray, size: int) -> LocalPointData:
     )
 
 
+def spawn_kwargs_from_cfg(cfg) -> dict:
+    """The spawn_gaussians options implied by a Config (single source for
+    the mapper, GUI/inspector, and eval render paths)."""
+    return dict(
+        spawn_k=cfg.spawn_n_gaussian,
+        voxel_size=cfg.voxel_size_m,
+        displacement_range_ratio=cfg.displacement_range_ratio,
+        unit_scale_ratio=cfg.unit_scale_ratio,
+        max_scale_ratio=cfg.max_scale_ratio,
+        surfel_mode=(cfg.gs_type == "gaussian_surfel"),
+        dist_concat=cfg.dist_concat_on,
+        view_concat=cfg.view_concat_on,
+        color_residual=cfg.learn_color_residual,
+        max_range=cfg.max_range,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("spawn_k", "voxel_size", "displacement_range_ratio",
