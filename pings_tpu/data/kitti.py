@@ -132,3 +132,73 @@ class KittiDataset(BaseDataset):
         if self._gt is not None and idx < len(self._gt):
             out["gt_pose"] = self._gt[idx]
         return out
+
+
+@register_loader("kitti_mot")
+class KittiMotDataset(BaseDataset):
+    """KITTI tracking/MOT layout (reference kitti_mot.py):
+    data_tracking_velodyne/<split>/velodyne/<seq>/*.bin +
+    data_tracking_image_2/.../image_02/<seq> +
+    data_tracking_calib/<split>/calib/<seq>.txt. sequence:
+    '<seq>[:<split>]' (split defaults to 'training')."""
+
+    CAM = "cam2"
+
+    def __init__(self, data_path: str, sequence: str = "0000", cfg=None):
+        super().__init__(data_path, sequence, cfg)
+        parts = (sequence or "0000").split(":")
+        seq = parts[0].zfill(4)
+        split = parts[1] if len(parts) > 1 else "training"
+        self.scan_files = sorted(glob.glob(os.path.join(
+            data_path, "data_tracking_velodyne", split, "velodyne", seq,
+            "*.bin")))
+        self.img_files = sorted(glob.glob(os.path.join(
+            data_path, "data_tracking_image_2", split, "image_02", seq,
+            "*.png")))
+        self.K = None
+        self.T_c_l = None
+        calib = os.path.join(data_path, "data_tracking_calib", split,
+                             "calib", f"{seq}.txt")
+        if os.path.exists(calib):
+            self._load_tracking_calib(calib)
+        self._gt = None
+
+    def _load_tracking_calib(self, path: str):
+        """P2 + R_rect + Tr_velo_cam -> K2, T_c2_l (reference
+        kitti_mot.py:181-249)."""
+        rows = []
+        with open(path) as f:
+            for line in f:
+                vals = line.split()[1:]
+                if vals:
+                    rows.append(np.array([float(v) for v in vals]))
+        P2 = rows[2].reshape(3, 4)
+        self.K = P2[:, :3].copy()
+        T_c2_r = np.eye(4)
+        T_c2_r[:3, 3] = np.linalg.inv(self.K) @ P2[:, 3]
+        T_r_c = np.eye(4)
+        T_r_c[:3, :3] = rows[4].reshape(3, 3)
+        T_c_l = np.eye(4)
+        T_c_l[:3, :4] = rows[5].reshape(3, 4)
+        self.T_c_l = T_c2_r @ T_r_c @ T_c_l
+
+    def __len__(self):
+        return len(self.scan_files)
+
+    @property
+    def cam_names(self):
+        return [self.CAM] if (self.K is not None and self.img_files) else []
+
+    def __getitem__(self, idx: int) -> dict:
+        pts = np.fromfile(self.scan_files[idx],
+                          dtype=np.float32).reshape(-1, 4)[:, :3]
+        out = {"points": pts, "point_ts": KittiDataset._azimuth_ts(pts)}
+        if idx < len(self.img_files) and self.K is not None:
+            import cv2
+
+            img = cv2.cvtColor(cv2.imread(self.img_files[idx]),
+                               cv2.COLOR_BGR2RGB)
+            out["img"] = {self.CAM: img}
+            out["K"] = {self.CAM: self.K}
+            out["T_c_l"] = {self.CAM: self.T_c_l}
+        return out

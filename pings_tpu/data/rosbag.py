@@ -36,3 +36,13 @@ class McapDataset(_UnavailableLoader):
 @register_loader("ouster")
 class OusterDataset(_UnavailableLoader):
     NEED = "ouster-sdk"
+
+
+@register_loader("mcap_ipb_car")
+class McapIpbCarDataset(_UnavailableLoader):
+    NEED = "mcap"
+
+
+@register_loader("nuscenes")
+class NuScenesDataset(_UnavailableLoader):
+    NEED = "nuscenes-devkit"

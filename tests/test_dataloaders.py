@@ -202,3 +202,78 @@ def test_kitti360_loader(tmp_path, rng):
 def test_bonn_azure_register():
     assert "bonn" in available_loaders()
     assert "azure" in available_loaders()
+
+
+def test_vbr_loader(tmp_path, rng):
+    root = tmp_path
+    (root / "ouster_points" / "data").mkdir(parents=True)
+    (root / "camera_left" / "data").mkdir(parents=True)
+    for i in range(2):
+        rng.normal(size=(40, 4)).astype(np.float32).tofile(
+            str(root / "ouster_points" / "data" / f"{i:06d}.bin"))
+    with open(str(root / "ouster_points" / "timestamps.txt"), "w") as f:
+        f.write("2024-01-01T00:00:00.100000000\n2024-01-01T00:00:00.200\n")
+    import cv2
+    for i in range(2):
+        cv2.imwrite(str(root / "camera_left" / "data" / f"{i:06d}.png"),
+                    np.zeros((8, 8, 3), np.uint8))
+    with open(str(root / "camera_left" / "timestamps.txt"), "w") as f:
+        f.write("2024-01-01T00:00:00.10\n2024-01-01T00:00:00.20\n")
+    with open(str(root / "vbr_calib.yaml"), "w") as f:
+        f.write("cam_l:\n  intrinsics: [400, 400, 320, 240]\n"
+                "  T_b: [[1,0,0,0],[0,1,0,0],[0,0,1,0.2],[0,0,0,1]]\n")
+    from pings_tpu.data.base import dataset_factory
+    ds = dataset_factory("vbr", str(root))
+    assert len(ds) == 2
+    fr = ds[0]
+    assert fr["points"].shape == (40, 3)
+    assert "camera_left" in fr["img"]
+    assert fr["K"]["camera_left"][0, 0] == 400
+
+
+def test_kitti_mot_loader(tmp_path, rng):
+    seq, split = "0001", "training"
+    vdir = tmp_path / "data_tracking_velodyne" / split / "velodyne" / seq
+    vdir.mkdir(parents=True)
+    cdir = tmp_path / "data_tracking_calib" / split / "calib"
+    cdir.mkdir(parents=True)
+    for i in range(2):
+        rng.normal(size=(30, 4)).astype(np.float32).tofile(
+            str(vdir / f"{i:06d}.bin"))
+    P = "7.0e+2 0.0e+0 6.0e+2 0.0e+0 0.0e+0 7.0e+2 1.8e+2 0.0e+0 0.0e+0 0.0e+0 1.0e+0 0.0e+0"
+    R = "1.0e+0 0.0e+0 0.0e+0 0.0e+0 1.0e+0 0.0e+0 0.0e+0 0.0e+0 1.0e+0"
+    Tr = "0.0e+0 -1.0e+0 0.0e+0 0.0e+0 0.0e+0 0.0e+0 -1.0e+0 0.0e+0 1.0e+0 0.0e+0 0.0e+0 0.0e+0"
+    with open(str(cdir / f"{seq}.txt"), "w") as f:
+        for name, row in [("P0:", P), ("P1:", P), ("P2:", P), ("P3:", P),
+                          ("R_rect", R), ("Tr_velo_cam", Tr),
+                          ("Tr_imu_velo", Tr)]:
+            f.write(f"{name} {row}\n")
+    from pings_tpu.data.base import dataset_factory
+    ds = dataset_factory("kitti_mot", str(tmp_path), f"{seq}:{split}")
+    assert len(ds) == 2
+    fr = ds[0]
+    assert fr["points"].shape == (30, 3)
+    assert ds.K[0, 0] == 700.0
+
+
+def test_waymo_loader(tmp_path, rng):
+    import json as _json
+    (tmp_path / "lidars" / "lidar_TOP").mkdir(parents=True)
+    (tmp_path / "images_ud" / "cam_FRONT").mkdir(parents=True)
+    _write_pcd_binary(str(tmp_path / "lidars" / "lidar_TOP" / "000.pcd"),
+                      rng.normal(size=(25, 3)).astype(np.float32))
+    import cv2
+    cv2.imwrite(str(tmp_path / "images_ud" / "cam_FRONT" / "000.jpg"),
+                np.zeros((8, 8, 3), np.uint8))
+    tf = {"lidar_TOP": {"extrinsic": np.eye(4).tolist()},
+          "cam_FRONT": {"camera_intrinsic": np.eye(3).tolist(),
+                        "extrinsic": np.eye(4).tolist()},
+          "gt_poses": [np.eye(4).tolist()]}
+    with open(str(tmp_path / "transform.json"), "w") as f:
+        _json.dump(tf, f)
+    from pings_tpu.data.base import dataset_factory
+    ds = dataset_factory("waymo", str(tmp_path))
+    assert len(ds) == 1
+    fr = ds[0]
+    assert fr["points"].shape == (25, 3)
+    assert "cam_FRONT" in fr["img"]
