@@ -192,40 +192,16 @@ def _build_gidx_table(gid_s: jnp.ndarray, starts: jnp.ndarray, T: int,
                       kmax: int) -> jnp.ndarray:
     """(m,) tile-sorted gaussian ids + (T+1,) run starts -> (T, kmax).
 
-    The rows are contiguous windows gid_s[starts[t] : starts[t]+kmax], so
-    on TPU a tiny Pallas kernel DMAs each window directly instead of the
-    equivalent XLA gather (which treats the 1.8M indices as random access
-    and runs ~30x slower than these sequential copies)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    m = gid_s.shape[0]
+    The rows are contiguous windows gid_s[starts[t] : starts[t]+kmax].
+    A plain XLA gather handles this well on TPU (measured ~5x cheaper
+    than the global pair sort that precedes it); a hand-rolled Pallas
+    DMA-per-window kernel is not viable on v5e because Mosaic requires
+    dynamic memref slices to be tiling-aligned (1024 elements for 1-D
+    i32, 8 rows for 2-D)."""
     pad = jnp.zeros((kmax,), gid_s.dtype)
     gid_pad = jnp.concatenate([gid_s, pad])
-
-    if jax.default_backend() == "cpu":
-        k = jnp.arange(kmax, dtype=jnp.int32)
-        return gid_pad[starts[:T, None] + k[None, :]]
-
-    def kern(starts_ref, gid_ref, out_ref, sem):
-        t = pl.program_id(0)
-        s = starts_ref[t]
-        cp = pltpu.make_async_copy(gid_ref.at[pl.ds(s, kmax)],
-                                   out_ref.at[0], sem)
-        cp.start()
-        cp.wait()
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(T,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, kmax), lambda t, starts: (t, 0)),
-        scratch_shapes=[pltpu.SemaphoreType.DMA],
-    )
-    return pl.pallas_call(
-        kern, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, kmax), gid_s.dtype),
-    )(starts, gid_pad)
+    k = jnp.arange(kmax, dtype=jnp.int32)
+    return gid_pad[starts[:T, None] + k[None, :]]
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile",
