@@ -40,7 +40,7 @@ bench("e2e_project_sum", f1, *scene)
 def f2(*s):
     p = rz.project_gaussians(*s, T, K, WIDTH, HEIGHT)
     b = rz.bin_gaussians(p, WIDTH, HEIGHT, max_per_tile=MPT)
-    return jnp.sum(b.gauss_idx), jnp.sum(b.mask)
+    return jnp.sum(b.rank_tbl), jnp.sum(b.mask)
 bench("e2e_bins_sum", f2, *scene)
 
 @jax.jit
@@ -56,7 +56,7 @@ def f4(*s):
     p = rz.project_gaussians(*s, T, K, WIDTH, HEIGHT)
     b = rz.bin_gaussians(p, WIDTH, HEIGHT, max_per_tile=MPT)
     a = rp._pack_table(rp.gauss_attr_matrix(p), b)
-    out, trans = rp._blend_fwd_call(a, ntx, nty, 16)
+    out, trans = rp._blend_fwd_call(a, b.counts, ntx, nty, 16)
     return jnp.sum(out) + jnp.sum(trans)
 bench("e2e_blend_sum", f4, *scene)
 

@@ -43,7 +43,7 @@ def make_scene(rng, n):
 def main():
     import jax
     import jax.numpy as jnp
-    from pings_tpu.ops import rasterize as rz
+    from pings_tpu.ops import raster_pallas as rp
 
     rng = np.random.default_rng(0)
     scene = make_scene(rng, N_GAUSS)
@@ -54,9 +54,9 @@ def main():
     z3 = jnp.zeros(3)
 
     def loss(means, quats, scales, opa, col, valid, theta, rho):
-        out = rz.rasterize(means, quats, scales, opa, col, valid, T, K,
-                           WIDTH, HEIGHT, theta=theta, rho=rho,
-                           max_per_tile=MAX_PER_TILE, chunk=32)
+        out = rp.rasterize_pallas(means, quats, scales, opa, col, valid,
+                                  T, K, WIDTH, HEIGHT, theta=theta, rho=rho,
+                                  max_per_tile=MAX_PER_TILE)
         return (jnp.mean(jnp.abs(out.rgb - tgt))
                 + 0.01 * jnp.mean(out.depth * out.alpha)
                 + 0.01 * jnp.mean(out.alpha))

@@ -7,10 +7,16 @@ blend as full-width (SUPER, P) = (128, 256) vector/matrix ops:
 
 - per-gaussian scalars (mean, conic, opacity) live on the sublane axis,
   pixels on the lane axis, so broadcasts need no transposes;
-- the prefix products/sums over blend order run as log2(SUPER) shifted
-  ops (pltpu.roll along sublanes), not an unrolled serial chain;
+- the prefix products/sums over blend order run on the MXU as one
+  triangular (SUPER, SUPER) @ (SUPER, P) matmul — the product in log
+  space (exp(tril_strict @ log(1-a))), the sum directly. Measured ~2x
+  the whole-kernel throughput of the log2(SUPER) pltpu.roll ladder the
+  kernels used before (rolls are cross-sublane shuffles and each step
+  rewrites the full (SUPER, P) block);
 - channel accumulation and the backward's per-slot direct gradients are
   single MXU matmuls per superblock ((16,K)@(K,P) and (K,P)@(P,16));
+- superblocks past the tile's occupancy (bins.counts) or past alpha
+  saturation (transmittance < TRANS_EPS) are skipped;
 - the backward is a single front-to-back pass using the suffix identity
   (see _bwd_kernel), so fwd+bwd costs about two forwards.
 
@@ -83,21 +89,27 @@ def gauss_attr_matrix(p: ProjectedGaussians) -> jnp.ndarray:
 
 def _pack_table(attr16: jnp.ndarray, bins: TileBins) -> jnp.ndarray:
     """Gather (N, 16) -> (T, Kmax, 16); masked slots zeroed (their
-    opacity column 13 = 0 makes them blend no-ops)."""
-    tbl = attr16[bins.gauss_idx]            # (T, Kmax, 16)
+    opacity column 13 = 0 makes them blend no-ops). Works in depth-rank
+    space: one (n,16) row permutation + the unavoidable per-slot row
+    gather — never materializing bins.gauss_idx."""
+    n = attr16.shape[0]
+    attr_by_rank = attr16[bins.perm]                      # (N, 16)
+    tbl = attr_by_rank[jnp.minimum(bins.rank_tbl, n - 1)]  # (T, Kmax, 16)
     return jnp.where(bins.mask[..., None], tbl, 0.0)
 
 
 def _unpack_grads(dtable: jnp.ndarray, bins: TileBins,
                   n: int) -> jnp.ndarray:
-    """Aggregate per-slot grads (T, Kmax, 16) -> (N, 16) by scatter-add.
+    """Aggregate per-slot grads (T, Kmax, 16) -> (N, 16) by scatter-add
+    in rank space, then one cheap (n,) permutation back to id order.
 
     Masked slots carry exactly-zero gradients (their opacity is 0 so
     alpha == 0 and the kernel's active mask kills every term), so no
     mask filter is needed before the add."""
     flat = dtable.reshape(-1, NCH)
-    idx = bins.gauss_idx.reshape(-1)
-    return jnp.zeros((n, NCH), dtable.dtype).at[idx].add(flat)
+    idx = jnp.minimum(bins.rank_tbl.reshape(-1), n - 1)
+    d_rank = jnp.zeros((n, NCH), dtable.dtype).at[idx].add(flat)
+    return d_rank[bins.rank]
 
 
 def _pixel_grid(t, ntx: int, tile: int):
@@ -111,27 +123,28 @@ def _pixel_grid(t, ntx: int, tile: int):
     return px, py
 
 
-def _sub_iota(P):
-    return jax.lax.broadcasted_iota(jnp.int32, (SUPER, P), 0)
+def _tri(strict: bool) -> jnp.ndarray:
+    """(SUPER, SUPER) lower-triangular ones: left-multiplied onto a
+    (SUPER, P) block it yields per-row sums over slots j < i (strict)
+    or j <= i (inclusive) — prefix scans as one MXU matmul."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (SUPER, SUPER), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (SUPER, SUPER), 1)
+    return ((r > c) if strict else (r >= c)).astype(jnp.float32)
 
 
-def _prefix_prod(x, iota):
-    """Inclusive cumprod along sublanes (axis 0) in log2(SUPER) steps."""
-    s = 1
-    while s < SUPER:
-        r = pltpu.roll(x, shift=s, axis=0)
-        x = x * jnp.where(iota >= s, r, 1.0)
-        s *= 2
-    return x
+def _tri_matmul(tri, x):
+    return jax.lax.dot_general(
+        tri, x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PREC)
 
 
-def _prefix_sum(x, iota):
-    s = 1
-    while s < SUPER:
-        r = pltpu.roll(x, shift=s, axis=0)
-        x = x + jnp.where(iota >= s, r, 0.0)
-        s *= 2
-    return x
+def _excl_prod(one_m, tri_s):
+    """Exclusive prefix product along sublanes via one triangular MXU
+    matmul in log space. one_m in [1e-3, 1] (alpha clamps at 0.999)
+    keeps the log bounded; where transmittance is non-negligible the
+    summed log is O(10), so the exp round-trip error is ~1e-6 relative
+    (the all-roll ladder this replaces was ~2x slower end to end)."""
+    return jnp.exp(_tri_matmul(tri_s, jnp.log(one_m)))
 
 
 def _super_alpha(chunk, px, py):
@@ -147,12 +160,13 @@ def _super_alpha(chunk, px, py):
     return alpha, dx, dy, q, araw < 0.999
 
 
-def _fwd_kernel(attrs_ref, out_ref, trans_ref, *, ntx: int, tile: int,
-                kmax: int):
+def _fwd_kernel(counts_ref, attrs_ref, out_ref, trans_ref, *, ntx: int,
+                tile: int, kmax: int):
     P = tile * tile
     t = pl.program_id(0)
     px, py = _pixel_grid(t, ntx, tile)
-    iota = _sub_iota(P)
+    tri_s = _tri(strict=True)
+    cnt = counts_ref[t]
 
     def super_body(j, carry):
         acc, trans = carry
@@ -161,19 +175,19 @@ def _fwd_kernel(attrs_ref, out_ref, trans_ref, *, ntx: int, tile: int,
         def compute(_):
             chunk = attrs_ref[0, pl.ds(k0, SUPER), :]       # (SUPER, 16)
             alpha, _, _, _, _ = _super_alpha(chunk, px, py)
-            cum = _prefix_prod(1.0 - alpha, iota)           # (SUPER, P)
-            excl = jnp.where(iota >= 1, pltpu.roll(cum, shift=1, axis=0),
-                             1.0)
-            w = alpha * excl * trans                        # (SUPER, P)
+            one_m = 1.0 - alpha
+            excl = _excl_prod(one_m, tri_s)                 # (SUPER, P)
+            w = alpha * excl * trans                        # blend weights
             # acc (16, P) += chunk^T @ w on the MXU
             acc2 = acc + jax.lax.dot_general(
                 chunk, w, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_PREC)
-            trans2 = trans * cum[SUPER - 1:SUPER, :]
+            trans2 = trans * (excl[SUPER - 1:SUPER, :]
+                              * one_m[SUPER - 1:SUPER, :])
             return acc2, trans2
 
-        return jax.lax.cond(jnp.max(trans) > TRANS_EPS, compute,
-                            lambda _: carry, None)
+        live = (jnp.max(trans) > TRANS_EPS) & (j * SUPER < cnt)
+        return jax.lax.cond(live, compute, lambda _: carry, None)
 
     acc0 = jnp.zeros((NCH, P), jnp.float32)
     trans0 = jnp.ones((1, P), jnp.float32)
@@ -188,8 +202,8 @@ def _lane_onehot(c: int):
     return (lane == c).astype(jnp.float32)
 
 
-def _bwd_kernel(attrs_ref, gout_ref, gtrans_ref, rho_ref, transf_ref,
-                dattrs_ref, *, ntx: int, tile: int, kmax: int):
+def _bwd_kernel(counts_ref, attrs_ref, gout_ref, gtrans_ref, rho_ref,
+                transf_ref, dattrs_ref, *, ntx: int, tile: int, kmax: int):
     """Analytic backward, single front-to-back pass with the suffix
     identity
         dL/da_i(p) = T_i phi_i - (rho - sigma_i) / (1 - a_i)
@@ -200,7 +214,9 @@ def _bwd_kernel(attrs_ref, gout_ref, gtrans_ref, rho_ref, transf_ref,
     P = tile * tile
     t = pl.program_id(0)
     px, py = _pixel_grid(t, ntx, tile)
-    iota = _sub_iota(P)
+    tri_s = _tri(strict=True)
+    tri_i = _tri(strict=False)
+    cnt = counts_ref[t]
     g = gout_ref[0]                         # (16, P)
     g_trans = gtrans_ref[0]                 # (1, P)
     rho = rho_ref[0]                        # (1, P)
@@ -215,16 +231,15 @@ def _bwd_kernel(attrs_ref, gout_ref, gtrans_ref, rho_ref, transf_ref,
             alpha, dx, dy, q, unclamped = _super_alpha(chunk, px, py)
             one_m = 1.0 - alpha
             one_m_safe = jnp.maximum(one_m, 1e-3)
-            cum = _prefix_prod(one_m, iota)
-            excl = jnp.where(iota >= 1, pltpu.roll(cum, shift=1, axis=0),
-                             1.0)
+            excl = _excl_prod(one_m, tri_s)
             T_i = excl * trans                               # (SUPER, P)
             w = alpha * T_i
             # phi (SUPER, P) = chunk @ g on the MXU
             phi = jax.lax.dot_general(
                 chunk, g, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_PREC)
-            sigma_i = sigma + _prefix_sum(w * phi, iota)  # (SUPER, P)
+            # inclusive prefix sum of w*phi as one triangular MXU matmul
+            sigma_i = sigma + _tri_matmul(tri_i, w * phi)    # (SUPER, P)
             da = (phi * T_i - (rho - sigma_i) / one_m_safe
                   - g_trans * trans_final / one_m_safe)
             active = alpha > 0.0
@@ -257,29 +272,32 @@ def _bwd_kernel(attrs_ref, gout_ref, gtrans_ref, rho_ref, transf_ref,
                        + dC * _lane_onehot(12) + dopa * _lane_onehot(13))
             dattrs_ref[0, pl.ds(k0, SUPER), :] = d_chunk
             return (sigma_i[SUPER - 1:SUPER, :],
-                    trans * cum[SUPER - 1:SUPER, :])
+                    trans * (excl[SUPER - 1:SUPER, :]
+                             * one_m[SUPER - 1:SUPER, :]))
 
         def skip(c):
             dattrs_ref[0, pl.ds(k0, SUPER), :] = jnp.zeros(
                 (SUPER, NCH), jnp.float32)
             return c
 
-        return jax.lax.cond(jnp.max(carry[1]) > TRANS_EPS, compute, skip,
-                            carry)
+        live = (jnp.max(carry[1]) > TRANS_EPS) & (j * SUPER < cnt)
+        return jax.lax.cond(live, compute, skip, carry)
 
     jax.lax.fori_loop(0, kmax // SUPER, super_body,
                       (jnp.zeros((1, P), jnp.float32),
                        jnp.ones((1, P), jnp.float32)))
 
 
-def _blend_fwd_call(attrs, ntx, nty, tile):
+def _blend_fwd_call(attrs, counts, ntx, nty, tile):
     T, kmax, _ = attrs.shape
     P = tile * tile
     kern = functools.partial(_fwd_kernel, ntx=ntx, tile=tile, kmax=kmax)
     out, trans = pl.pallas_call(
         kern,
         grid=(T,),
-        in_specs=[pl.BlockSpec((1, kmax, NCH), lambda t: (t, 0, 0),
+        in_specs=[pl.BlockSpec((T,), lambda t: (0,),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, kmax, NCH), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(
             pl.BlockSpec((1, NCH, P), lambda t: (t, 0, 0),
@@ -292,12 +310,12 @@ def _blend_fwd_call(attrs, ntx, nty, tile):
             jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
         ),
         interpret=INTERPRET,
-    )(attrs)
+    )(counts, attrs)
     return out, trans
 
 
-def _blend_bwd_call(attrs, g_out, g_trans, rho, trans_final, ntx, nty,
-                    tile):
+def _blend_bwd_call(attrs, counts, g_out, g_trans, rho, trans_final, ntx,
+                    nty, tile):
     T, kmax, _ = attrs.shape
     P = tile * tile
     kern = functools.partial(_bwd_kernel, ntx=ntx, tile=tile, kmax=kmax)
@@ -307,6 +325,7 @@ def _blend_bwd_call(attrs, g_out, g_trans, rho, trans_final, ntx, nty,
         kern,
         grid=(T,),
         in_specs=[
+            pl.BlockSpec((T,), lambda t: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, kmax, NCH), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             specs_p(NCH), specs_p(1), specs_p(1), specs_p(1),
@@ -315,7 +334,7 @@ def _blend_bwd_call(attrs, g_out, g_trans, rho, trans_final, ntx, nty,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, kmax, NCH), jnp.float32),
         interpret=INTERPRET,
-    )(attrs, g_out, g_trans, rho, trans_final)
+    )(counts, attrs, g_out, g_trans, rho, trans_final)
     return dattrs
 
 
@@ -326,12 +345,12 @@ def _blend_gaussians(attr16, bins: TileBins, ntx: int, nty: int,
     final transmittance. One custom_vjp over pack+blend so the backward
     aggregates per-slot grads with a single scatter-add."""
     attrs = _pack_table(attr16, bins)
-    return _blend_fwd_call(attrs, ntx, nty, tile)
+    return _blend_fwd_call(attrs, bins.counts, ntx, nty, tile)
 
 
 def _blend_g_fwd(attr16, bins, ntx, nty, tile):
     attrs = _pack_table(attr16, bins)
-    out, trans = _blend_fwd_call(attrs, ntx, nty, tile)
+    out, trans = _blend_fwd_call(attrs, bins.counts, ntx, nty, tile)
     return (out, trans), (attrs, bins, out, trans, attr16.shape[0])
 
 
@@ -340,8 +359,8 @@ def _blend_g_bwd(ntx, nty, tile, res, cotangents):
     g_out, g_trans = cotangents
     # rho(p) = sum_c g_c O_c — free from the saved outputs
     rho = jnp.sum(g_out * out, axis=1, keepdims=True)     # (T, 1, P)
-    dtable = _blend_bwd_call(attrs, g_out, g_trans, rho, trans,
-                             ntx, nty, tile)
+    dtable = _blend_bwd_call(attrs, bins.counts, g_out, g_trans, rho,
+                             trans, ntx, nty, tile)
     d_attr16 = _unpack_grads(dtable, bins, n)
     return (d_attr16, None)
 

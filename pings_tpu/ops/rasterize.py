@@ -179,105 +179,172 @@ def mark_visible(means3d: jnp.ndarray, T_c_w: jnp.ndarray, K: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 class TileBins(NamedTuple):
-    gauss_idx: jnp.ndarray   # (T, Kmax) int32 indices into the gaussian arrays
+    """Per-tile gaussian tables in depth-rank space.
+
+    Slots hold *depth ranks* (positions in the global front-to-back
+    depth argsort), not raw gaussian ids: the rank is what the sort key
+    carries, and keeping tables in rank space turns the rank->id
+    translation into one cheap (n,)-sized permutation of the per-gaussian
+    attribute rows instead of a (T*Kmax)-sized gather (measured ~13 ms
+    at 1.8M slots on v5e — as large as the sort itself)."""
+    rank_tbl: jnp.ndarray    # (T, Kmax) int32 depth ranks per slot
+    perm: jnp.ndarray        # (n,) int32 — rank -> gaussian id
+    rank: jnp.ndarray        # (n,) int32 — gaussian id -> rank (inverse)
     mask: jnp.ndarray        # (T, Kmax) bool
+    counts: jnp.ndarray      # (T,) int32 — per-tile count, clamped to Kmax
     n_overflow: jnp.ndarray  # () i32 — pairs dropped by either cap
 
+    @property
+    def gauss_idx(self) -> jnp.ndarray:
+        """(T, Kmax) gaussian ids (materializes a full-table gather —
+        the Pallas path avoids this; only the portable XLA blend and
+        debug consumers should touch it)."""
+        n = self.perm.shape[0]
+        return self.perm[jnp.minimum(self.rank_tbl, n - 1)]
 
-# depth quantization range for the packed sort key (log-spaced)
-_QNEAR, _QFAR = 1e-2, 1e4
+
+def _build_window_table(vals_s: jnp.ndarray, starts: jnp.ndarray, T: int,
+                        kmax: int) -> jnp.ndarray:
+    """(m,) tile-sorted values + (T+1,) run starts -> (T, kmax).
+
+    The rows are contiguous windows vals_s[starts[t] : starts[t]+kmax],
+    extracted as a vmapped dynamic_slice so XLA moves kmax-long
+    contiguous runs instead of element-at-a-time gathers (the naive
+    vals_s[starts[:,None]+arange(kmax)] gather measured ~13 ms for 1.8M
+    slots on v5e; a hand-rolled Pallas DMA-per-window kernel is not
+    viable because Mosaic requires dynamic memref slices to be
+    tiling-aligned — 1024 elements for 1-D i32)."""
+    vals_pad = jnp.concatenate([vals_s, jnp.zeros((kmax,), vals_s.dtype)])
+    slc = lambda s: jax.lax.dynamic_slice(vals_pad, (s,), (kmax,))
+    return jax.vmap(slc)(starts[:T])
 
 
-def _build_gidx_table(gid_s: jnp.ndarray, starts: jnp.ndarray, T: int,
-                      kmax: int) -> jnp.ndarray:
-    """(m,) tile-sorted gaussian ids + (T+1,) run starts -> (T, kmax).
+def _tile_range(means2d, r, tile, ntx, nty):
+    tx0 = jnp.clip(((means2d[:, 0] - r) / tile).astype(jnp.int32), 0, ntx - 1)
+    tx1 = jnp.clip(((means2d[:, 0] + r) / tile).astype(jnp.int32), 0, ntx - 1)
+    ty0 = jnp.clip(((means2d[:, 1] - r) / tile).astype(jnp.int32), 0, nty - 1)
+    ty1 = jnp.clip(((means2d[:, 1] + r) / tile).astype(jnp.int32), 0, nty - 1)
+    return tx0, ty0, tx1 - tx0 + 1, ty1 - ty0 + 1
 
-    The rows are contiguous windows gid_s[starts[t] : starts[t]+kmax].
-    A plain XLA gather handles this well on TPU (measured ~5x cheaper
-    than the global pair sort that precedes it); a hand-rolled Pallas
-    DMA-per-window kernel is not viable on v5e because Mosaic requires
-    dynamic memref slices to be tiling-aligned (1024 elements for 1-D
-    i32, 8 rows for 2-D)."""
-    pad = jnp.zeros((kmax,), gid_s.dtype)
-    gid_pad = jnp.concatenate([gid_s, pad])
-    k = jnp.arange(kmax, dtype=jnp.int32)
-    return gid_pad[starts[:T, None] + k[None, :]]
+
+def _enum_pairs(tx0, ty0, sx, sy, ok, span_cap, ntx, T):
+    """Row-major enumeration of up to span_cap covered tiles. Returns
+    (G, span_cap) tile ids with invalid entries mapped to the dump tile
+    T, so one sort pushes them past every real tile."""
+    e = jnp.arange(span_cap, dtype=jnp.int32)
+    ex = e[None, :] % jnp.maximum(sx, 1)[:, None]
+    ey = e[None, :] // jnp.maximum(sx, 1)[:, None]
+    ptile = (ty0[:, None] + ey) * ntx + (tx0[:, None] + ex)
+    pok = ok[:, None] & (e[None, :] < (sx * sy)[:, None])
+    return jnp.where(pok, ptile, T)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile",
-                                             "max_span", "max_per_tile"))
+                                             "max_span", "max_per_tile",
+                                             "large_cap"))
 def bin_gaussians(
     p: ProjectedGaussians,
     width: int, height: int,
     tile: int = 16,
     max_span: int = 36,
     max_per_tile: int = 512,
+    large_cap: int | None = None,
 ) -> TileBins:
     """Assign gaussians to image tiles, depth-sorted per tile.
 
-    Each gaussian covers tiles [tx0, tx1) x [ty0, ty1) from its pixel
-    radius; the span is row-major enumerated up to ``max_span`` pairs.
-    One global sort on a packed i32 key (tile_id << DB | log-quantized
-    depth) yields contiguous per-tile, front-to-back runs — the same
-    64-bit radix-sort strategy as the reference CUDA rasterizer, with the
-    depth key quantized to DB>=15 bits (ties broken stably by gaussian
-    id, so binning stays deterministic)."""
+    Two-tier pair enumeration keeps the sorted pair count near the true
+    footprint total instead of n*max_span: every gaussian gets a 3x3-tile
+    (radius <= tile px) slot budget, and the first ``large_cap`` gaussians
+    whose radius exceeds that (default n/8) get the full ``max_span``
+    budget. Large gaussians beyond the cap degrade to a centered 3x3
+    truncation and are counted in n_overflow, as are footprints clipped
+    by either span cap or by ``max_per_tile``.
+
+    The sort is a single payload-free u32 key per pair:
+    ``tile_id << RB | depth_rank``, where depth_rank is the gaussian's
+    position in one global (stable, exact) depth argsort — so per-tile
+    runs come out contiguous and front-to-back ordered, and the gaussian
+    id is recovered from the key itself (gid = perm[key & mask]). This
+    mirrors the reference CUDA rasterizer's 64-bit (tile|depth) radix
+    sort with half the key+payload traffic and exact depth ordering
+    (stable ties by gaussian id -> deterministic)."""
     ntx = (width + tile - 1) // tile
     nty = (height + tile - 1) // tile
     T = ntx * nty
     n = p.means2d.shape[0]
 
-    # clamp the radius so the tile footprint fits max_span as a *centered*
-    # square — an oversized gaussian degrades to symmetric truncation
-    # instead of a row-major-clipped rectangle
-    side = int(np.floor(np.sqrt(max_span)))
-    # a footprint of 2*r_cap pixels can straddle at most `side` tile rows
-    r_cap = ((side - 1) * tile) / 2.0
+    small_span = min(9, max_span)
+    side_s = int(np.floor(np.sqrt(small_span)))
+    r_cap_s = ((side_s - 1) * tile) / 2.0
+    side_l = int(np.floor(np.sqrt(max_span)))
+    r_cap_l = ((side_l - 1) * tile) / 2.0
     r_raw = p.radius
-    r = jnp.minimum(r_raw, r_cap)
-    span_overflow = jnp.sum((p.valid & (r_raw > r_cap)).astype(jnp.int32))
 
-    tx0 = jnp.clip(((p.means2d[:, 0] - r) / tile).astype(jnp.int32), 0, ntx - 1)
-    tx1 = jnp.clip(((p.means2d[:, 0] + r) / tile).astype(jnp.int32), 0, ntx - 1)
-    ty0 = jnp.clip(((p.means2d[:, 1] - r) / tile).astype(jnp.int32), 0, nty - 1)
-    ty1 = jnp.clip(((p.means2d[:, 1] + r) / tile).astype(jnp.int32), 0, nty - 1)
-    sx = tx1 - tx0 + 1
-    sy = ty1 - ty0 + 1
-    span = sx * sy
+    # global depth order: rank is exact and unique per gaussian
+    perm = jnp.argsort(p.depth).astype(jnp.int32)            # (n,)
+    rank = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32))
 
-    # enumerate up to max_span covered tiles per gaussian (row-major)
-    e = jnp.arange(max_span, dtype=jnp.int32)
-    ex = e[None, :] % jnp.maximum(sx, 1)[:, None]
-    ey = e[None, :] // jnp.maximum(sx, 1)[:, None]
-    pair_tile = (ty0[:, None] + ey) * ntx + (tx0[:, None] + ex)   # (N, S)
-    pair_ok = p.valid[:, None] & (e[None, :] < span[:, None])
-    pair_tile = jnp.where(pair_ok, pair_tile, T)                  # T = dump
+    rb = int(np.ceil(np.log2(max(n, 2))))
+    assert T + 1 <= 2 ** (32 - rb), (
+        "too many gaussians x tiles for the packed u32 sort key; "
+        "raise the tile size or split the image")
 
-    # packed sort key: tile in the high bits, log-quantized depth below
-    db = min(20, 31 - int(np.ceil(np.log2(T + 2))))
-    assert db >= 15, "image too large for the packed i32 sort key"
-    dq = jnp.log(jnp.clip(p.depth, _QNEAR, _QFAR) / _QNEAR)
-    dq = (dq * ((2 ** db - 1) / np.log(_QFAR / _QNEAR))).astype(jnp.int32)
-    key = (pair_tile << db) | jnp.broadcast_to(dq[:, None], (n, max_span))
-    pair_gid = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, max_span))
+    def pack_key(ptile, prank):
+        return (ptile.astype(jnp.uint32) << rb) | prank.astype(jnp.uint32)
 
-    m = n * max_span
-    key_s, gid_s = jax.lax.sort(
-        (key.reshape(-1), pair_gid.reshape(-1)), num_keys=1)
-    tile_s = key_s >> db
+    if max_span > small_span:
+        # ---- tier split ----
+        lcap = large_cap if large_cap is not None else min(
+            n, max(512, n // 8))
+        is_large = p.valid & (r_raw > r_cap_s)
+        idx_l = jnp.nonzero(is_large, size=lcap, fill_value=n)[0]
+        sel = idx_l < n                                       # (lcap,)
+        in_large = jnp.zeros((n + 1,), bool).at[idx_l].set(sel)[:n]
+        n_unselected = jnp.sum(is_large) - jnp.sum(sel)
 
-    # per-tile ranges
-    starts = jnp.searchsorted(tile_s, jnp.arange(T + 1, dtype=jnp.int32),
+        # small tier: all gaussians not in the large tier, radius <= tile
+        r_s = jnp.minimum(r_raw, r_cap_s)
+        tx0, ty0, sx, sy = _tile_range(p.means2d, r_s, tile, ntx, nty)
+        tiles_s = _enum_pairs(tx0, ty0, sx, sy, p.valid & ~in_large,
+                              small_span, ntx, T)
+        key_s = pack_key(tiles_s, rank[:, None])
+
+        # large tier: gathered rows, radius <= r_cap_l
+        idx_c = jnp.minimum(idx_l, n - 1)
+        m2d_l = p.means2d[idx_c]
+        r_l = jnp.minimum(r_raw[idx_c], r_cap_l)
+        tx0l, ty0l, sxl, syl = _tile_range(m2d_l, r_l, tile, ntx, nty)
+        tiles_l = _enum_pairs(tx0l, ty0l, sxl, syl, sel, max_span, ntx, T)
+        key_l = pack_key(tiles_l, rank[idx_c][:, None])
+
+        key = jnp.concatenate([key_s.reshape(-1), key_l.reshape(-1)])
+        span_overflow = (n_unselected
+                         + jnp.sum(sel & (r_raw[idx_c] > r_cap_l)))
+    else:
+        r = jnp.minimum(r_raw, r_cap_s)
+        tx0, ty0, sx, sy = _tile_range(p.means2d, r, tile, ntx, nty)
+        tiles = _enum_pairs(tx0, ty0, sx, sy, p.valid, small_span, ntx, T)
+        key = pack_key(tiles, rank[:, None]).reshape(-1)
+        span_overflow = jnp.sum(p.valid & (r_raw > r_cap_s))
+
+    key_sorted = jax.lax.sort((key,), num_keys=1)[0]
+
+    # per-tile ranges straight off the packed keys
+    bounds = (jnp.arange(T + 1, dtype=jnp.uint32) << rb)
+    starts = jnp.searchsorted(key_sorted, bounds,
                               side="left").astype(jnp.int32)
     counts = starts[1:] - starts[:-1]
     tile_overflow = jnp.sum(jnp.maximum(counts - max_per_tile, 0))
+    counts = jnp.minimum(counts, max_per_tile)
 
     k = jnp.arange(max_per_tile, dtype=jnp.int32)
-    mask = k[None, :] < jnp.minimum(counts, max_per_tile)[:, None]
-    gidx = _build_gidx_table(gid_s, starts, T, max_per_tile)
+    mask = k[None, :] < counts[:, None]
+    rank_tbl = (_build_window_table(key_sorted, starts, T, max_per_tile)
+                & jnp.uint32(2 ** rb - 1)).astype(jnp.int32)
 
-    return TileBins(gauss_idx=gidx, mask=mask,
+    return TileBins(rank_tbl=rank_tbl, perm=perm, rank=rank,
+                    mask=mask, counts=counts,
                     n_overflow=span_overflow + tile_overflow)
 
 

@@ -73,9 +73,10 @@ def render_sharded(
                                  valid, T_c_w, K, width, height)
         bins = rz.bin_gaussians(p, width, height, tile=tile,
                                 max_span=max_span, max_per_tile=max_per_tile)
+        n_tiles = bins.rank_tbl.shape[0]
         bins = jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(
-                x, tile_shard if x.ndim >= 1 and x.shape[0] == bins.gauss_idx.shape[0]
+                x, tile_shard if x.ndim >= 1 and x.shape[0] == n_tiles
                 else repl),
             bins)
         return rz.blend_tiles(p, bins, bg, width, height, tile=tile,
