@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-mesh", action="store_true")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--vis-every", type=int, default=0, metavar="N",
+                   help="save a VisPacket every N frames and bake a "
+                        "standalone WebGL viewer.html at the end "
+                        "(headless stand-in for the reference GUI)")
     return p
 
 
@@ -97,10 +101,18 @@ def run(args) -> dict:
     system = SlamSystem(cfg)
     gt = ds.gt_poses()
     reports = []
+    packets = []
     t_start = time.time()
     for fid in range(begin, end, step):
         rep = system.process_frame(ds[fid])
         reports.append(rep)
+        if args.vis_every and (len(reports) % args.vis_every == 0
+                               or fid + step >= end):
+            pkt = system.make_vis_packet(gt_poses=gt,
+                                         with_render=bool(cfg.gs_on))
+            pkt.save(os.path.join(run_dir, "vis",
+                                  f"frame_{rep.frame_id:05d}.npz"))
+            packets.append(pkt)
         if not cfg.silence:
             mets = " ".join(f"{k}={v:.3f}" for k, v in rep.metrics.items())
             print(f"[frame {rep.frame_id:4d}] pts={rep.n_points} "
@@ -113,6 +125,11 @@ def run(args) -> dict:
     wall = time.time() - t_start
 
     results = write_results(run_dir, cfg, system, ds, reports, gt, wall)
+    if packets:
+        from pings_tpu.vis.viewer import write_viewer
+
+        results["viewer"] = write_viewer(
+            os.path.join(run_dir, "viewer.html"), packets)
     if cfg.save_map:
         system.save(os.path.join(run_dir, "model", "pin_map.npz"))
     if args.save_mesh or cfg.save_mesh:

@@ -24,6 +24,12 @@ from pings_tpu.models.spawn import LocalPointData, SpawnedGaussians, spawn_gauss
 from pings_tpu.ops import rasterize as rz
 
 
+def _use_pallas() -> bool:
+    """Pick the fused Pallas blend on real accelerators; the portable XLA
+    blend (the parity arbiter) on CPU, where Pallas would run interpreted."""
+    return jax.default_backend() not in ("cpu",)
+
+
 class CamView(NamedTuple):
     """A camera + target frame record (reference CamImage, cameras.py:22-259).
 
@@ -136,12 +142,21 @@ def render(
         means, quats, scales = g.means, g.quats, g.scales
         alphas, colors, valid = g.alphas, g.colors, g.valid
 
-    out = rz.rasterize(
-        means, quats, scales, alphas, colors, valid,
-        T_c_w, cam.K, width, height, bg=bg,
-        tile=tile, max_per_tile=max_per_tile, chunk=chunk,
-        normalize_depth=normalize_depth,
-    )
+    if _use_pallas():
+        from pings_tpu.ops.raster_pallas import rasterize_pallas
+        out = rasterize_pallas(
+            means, quats, scales, alphas, colors, valid,
+            T_c_w, cam.K, width, height, bg=bg,
+            tile=tile, max_per_tile=max_per_tile,
+            normalize_depth=normalize_depth,
+        )
+    else:
+        out = rz.rasterize(
+            means, quats, scales, alphas, colors, valid,
+            T_c_w, cam.K, width, height, bg=bg,
+            tile=tile, max_per_tile=max_per_tile, chunk=chunk,
+            normalize_depth=normalize_depth,
+        )
     rgb = out.rgb
     if exposure is not None:
         rgb = apply_exposure(rgb, exposure, affine_exposure)

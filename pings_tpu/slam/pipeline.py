@@ -387,6 +387,88 @@ class SlamSystem:
             rep.metrics["gs_l1"] = float(met.rgb_l1)
             rep.metrics["sdf_bce"] = float(met.sdf_bce)
 
+    # -- visualization --------------------------------------------------------
+    def make_vis_packet(self, pre: Optional[PreprocessedFrame] = None,
+                        gt_poses=None, max_points: int = 200_000,
+                        with_render: bool = False):
+        """Snapshot current SLAM state as a VisPacket (the headless
+        counterpart of the reference's per-frame VisPacket feed to the
+        GUI process, pings.py:399-471)."""
+        from pings_tpu.vis.packet import VisPacket, downsample_points
+
+        pkt = VisPacket(frame_id=self.frame_id)
+        n = int(self.m.count)
+        if n:
+            xyz = np.asarray(self.m.positions[:n])
+            col = (np.clip(np.asarray(self.m.rgb[:n]), 0, 1)
+                   * 255).astype(np.uint8)
+            pkt.neural_points, pkt.neural_colors = downsample_points(
+                xyz, col, max_points)
+        if pre is not None and self.poses:
+            T = self.poses[-1]
+            pts_w = (pre.points_l[pre.mask] @ T[:3, :3].T
+                     + T[:3, 3]).astype(np.float32)
+            pkt.scan_points, _ = downsample_points(pts_w, None,
+                                                   max_points // 4)
+        if self.poses:
+            pkt.traj_est = np.stack(
+                [p[:3, 3] for p in self.poses]).astype(np.float32)
+        if gt_poses is not None and len(gt_poses):
+            pkt.traj_gt = np.stack(
+                [p[:3, 3] for p in gt_poses[:len(self.poses)]]).astype(
+                np.float32)
+        if self.campool is not None:
+            cams = self.campool.all_cams()[-12:]
+            if cams:
+                Ts, ks = [], []
+                for pc in cams:
+                    T_c_w = np.asarray(pc.cam.T_c_w, np.float64)
+                    Ts.append(hp.se3_inv(T_c_w))
+                    K = np.asarray(pc.cam.K)
+                    h, w = pc.cam.rgb.shape[:2]
+                    ks.append([float(K[0, 0]), float(K[1, 1]), w, h])
+                pkt.cam_poses = np.stack(Ts).astype(np.float32)
+                pkt.cam_intrinsics = np.asarray(ks, np.float32)
+        if with_render and self.campool is not None and self.campool.short:
+            pc = self.campool.short[-1]
+            try:
+                out = self.render_cam(pc.cam)
+                pkt.images["render_rgb"] = (
+                    np.clip(np.asarray(out.rgb), 0, 1) * 255).astype(
+                    np.uint8)
+                d = np.asarray(out.depth)
+                pkt.images["render_depth"] = (
+                    np.clip(d / max(float(d.max()), 1e-6), 0, 1)[..., None]
+                    * np.ones(3) * 255).astype(np.uint8)
+                pkt.images["target_rgb"] = (
+                    np.clip(np.asarray(pc.cam.rgb), 0, 1) * 255).astype(
+                    np.uint8)
+            except Exception:
+                pass  # rendering is best-effort for vis
+        return pkt
+
+    def render_cam(self, cam: CamView):
+        """Render the current map from a pooled camera (GUI/live-render
+        path; reference slam_gui.py:1496-1506)."""
+        from pings_tpu.models.renderer import render
+        from pings_tpu.models.spawn import (
+            LocalPointData, spawn_kwargs_from_cfg)
+
+        cfg = self.cfg
+        local_idx = jnp.nonzero(self.m.local_mask, size=self._local_size,
+                                fill_value=self.m.capacity)[0]
+        m = self.m
+        local = LocalPointData(
+            positions=m.positions[local_idx], quats=m.quats[local_idx],
+            geo_feat=m.geo_feat[local_idx],
+            color_feat=m.color_feat[local_idx], rgb=m.rgb[local_idx],
+            valid=(local_idx < m.capacity) & m.valid_gs_mask[local_idx])
+        h, w = cam.rgb.shape[:2]
+        return render(local, self.decoders, cam, w, h,
+                      bg=jnp.asarray(cfg.bg_color, jnp.float32),
+                      spawn_kwargs=spawn_kwargs_from_cfg(cfg),
+                      tile=cfg.tile_size, max_per_tile=cfg.max_gs_per_tile)
+
     # -- persistence ----------------------------------------------------------
     def save(self, path: str):
         """Checkpoint map + decoders (reference save_implicit_map,
