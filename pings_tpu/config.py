@@ -41,6 +41,11 @@ class Config:
     deskew: bool = False
     kitti_correction_on: bool = False
     correction_deg: float = 0.195
+    # optional monocular depth prior (reference Metric3D path,
+    # slam_dataset.py:333-480); provider resolves lazily and the system
+    # degrades to LiDAR-only depth when its weights are unavailable
+    mono_depth_on: bool = False
+    mono_depth_provider: str = "dpt"
 
     # ---------------- process ----------------
     min_range: float = 2.5

@@ -66,6 +66,10 @@ class SlamSystem:
             self.exposure, self.cam_delta = self.campool.init_param_pools()
         self.rng = np.random.default_rng(cfg.seed)
         self._key = jax.random.PRNGKey(cfg.seed + 1)
+        self.mono_provider = None
+        if cfg.mono_depth_on:
+            from pings_tpu.data.monodepth import make_provider
+            self.mono_provider = make_provider(cfg.mono_depth_provider)
 
         self.poses: List[np.ndarray] = []       # post-PGO odom poses (f64)
         self.odom_only_poses: List[np.ndarray] = []
@@ -347,6 +351,13 @@ class SlamSystem:
                     depth = project_scan_to_cam(pts_w, pre.mask, T_c_w,
                                                 cd["K"], w, h)
                 sky = cd.get("sky")
+                if self.mono_provider is not None:
+                    from pings_tpu.data.monodepth import densify_depth
+                    depth, mono_sky = densify_depth(
+                        cd["img"], np.asarray(depth),
+                        self.mono_provider, max_depth=cfg.max_range)
+                    if sky is None:
+                        sky = mono_sky.astype(np.float32)
                 cam = CamView(
                     K=jnp.asarray(cd["K"], jnp.float32),
                     T_c_w=jnp.asarray(T_c_w, jnp.float32),
