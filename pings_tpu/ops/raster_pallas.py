@@ -3,7 +3,7 @@
 The portable XLA blend (ops/rasterize.blend_tiles) materializes large
 (T, chunk, P) temporaries and its autodiff backward issues per-chunk
 scatters. These kernels keep the whole tile state in VMEM and run the
-blend as full-width (SUPER, P) = (128, 256) vector/matrix ops:
+blend as full-width (SUPER, P) = (256, 256) vector/matrix ops:
 
 - per-gaussian scalars (mean, conic, opacity) live on the sublane axis,
   pixels on the lane axis, so broadcasts need no transposes;
@@ -60,10 +60,7 @@ from pings_tpu.ops.rasterize import (
 )
 
 INTERPRET = False  # set True to run the kernels in interpreter mode (CPU)
-# f32 inputs on the TPU MXU default to one-pass bf16; the blend weights
-# need full f32 (parity target is allclose vs the XLA/VPU arbiter)
-_PREC = jax.lax.Precision.HIGHEST
-SUPER = 128        # gaussians blended per superblock (sublane axis)
+SUPER = 256        # gaussians blended per superblock (sublane axis)
 NCH = 16           # packed channel columns (attrs and output rows)
 CUTOFF_Q = 9.0
 ALPHA_FLOOR = 1.0 / 255.0
@@ -123,19 +120,54 @@ def _pixel_grid(t, ntx: int, tile: int):
     return px, py
 
 
-def _tri(strict: bool) -> jnp.ndarray:
-    """(SUPER, SUPER) lower-triangular ones: left-multiplied onto a
-    (SUPER, P) block it yields per-row sums over slots j < i (strict)
-    or j <= i (inclusive) — prefix scans as one MXU matmul."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (SUPER, SUPER), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (SUPER, SUPER), 1)
-    return ((r > c) if strict else (r >= c)).astype(jnp.float32)
+def _tri(strict: bool, sb: int) -> jnp.ndarray:
+    """(sb, sb) lower-triangular ones: left-multiplied onto an (sb, P)
+    block it yields per-row sums over slots j < i (strict) or j <= i
+    (inclusive) — prefix scans as one MXU matmul. Emitted in bf16:
+    0/1 are exact, so the split dots below lose nothing."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (sb, sb), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (sb, sb), 1)
+    return ((r > c) if strict else (r >= c)).astype(jnp.bfloat16)
+
+
+def _superblock(kmax: int) -> int:
+    """Largest power-of-two block <= SUPER dividing kmax."""
+    sb = min(SUPER, kmax)
+    while kmax % sb:
+        sb //= 2
+    assert sb >= 8, f"max_per_tile={kmax} must be divisible by a block >= 8"
+    return sb
+
+
+def _bf16_split(x):
+    """x (f32) -> (hi, lo) bf16 with hi + lo ≈ x to ~2^-17 relative.
+
+    Mosaic supports only DEFAULT (one-pass bf16) and HIGHEST (six-pass)
+    dot precision in kernels; a manual two/three-pass split hits ~f32
+    accuracy at a third of HIGHEST's MXU passes (measured ~1.2x whole-
+    kernel speedup, max output drift 5e-5 vs HIGHEST on the bench scene)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
 
 def _tri_matmul(tri, x):
-    return jax.lax.dot_general(
-        tri, x, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC)
+    """tri (bf16-exact) @ x via two one-pass bf16 dots (f32 accumulate)."""
+    xh, xl = _bf16_split(x)
+    d = lambda u: jax.lax.dot_general(
+        tri, u, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return d(xh) + d(xl)
+
+
+def _split_dot(a, b, dims):
+    """a @ b with both operands bf16-split: three one-pass bf16 dots
+    (hh + hl + lh; the ll term is below 2^-18 relative)."""
+    ah, al = _bf16_split(a)
+    bh, bl = _bf16_split(b)
+    d = lambda u, v: jax.lax.dot_general(
+        u, v, (dims, ((), ())), preferred_element_type=jnp.float32)
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
 def _excl_prod(one_m, tri_s):
@@ -163,35 +195,34 @@ def _super_alpha(chunk, px, py):
 def _fwd_kernel(counts_ref, attrs_ref, out_ref, trans_ref, *, ntx: int,
                 tile: int, kmax: int):
     P = tile * tile
+    sb = _superblock(kmax)
     t = pl.program_id(0)
     px, py = _pixel_grid(t, ntx, tile)
-    tri_s = _tri(strict=True)
+    tri_s = _tri(True, sb)
     cnt = counts_ref[t]
 
     def super_body(j, carry):
         acc, trans = carry
-        k0 = pl.multiple_of(j * SUPER, SUPER)
+        k0 = pl.multiple_of(j * sb, sb)
 
         def compute(_):
-            chunk = attrs_ref[0, pl.ds(k0, SUPER), :]       # (SUPER, 16)
+            chunk = attrs_ref[0, pl.ds(k0, sb), :]          # (sb, 16)
             alpha, _, _, _, _ = _super_alpha(chunk, px, py)
             one_m = 1.0 - alpha
-            excl = _excl_prod(one_m, tri_s)                 # (SUPER, P)
+            excl = _excl_prod(one_m, tri_s)                 # (sb, P)
             w = alpha * excl * trans                        # blend weights
             # acc (16, P) += chunk^T @ w on the MXU
-            acc2 = acc + jax.lax.dot_general(
-                chunk, w, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC)
-            trans2 = trans * (excl[SUPER - 1:SUPER, :]
-                              * one_m[SUPER - 1:SUPER, :])
+            acc2 = acc + _split_dot(chunk, w, ((0,), (0,)))
+            trans2 = trans * (excl[sb - 1:sb, :]
+                              * one_m[sb - 1:sb, :])
             return acc2, trans2
 
-        live = (jnp.max(trans) > TRANS_EPS) & (j * SUPER < cnt)
+        live = (jnp.max(trans) > TRANS_EPS) & (j * sb < cnt)
         return jax.lax.cond(live, compute, lambda _: carry, None)
 
     acc0 = jnp.zeros((NCH, P), jnp.float32)
     trans0 = jnp.ones((1, P), jnp.float32)
-    acc, trans = jax.lax.fori_loop(0, kmax // SUPER, super_body,
+    acc, trans = jax.lax.fori_loop(0, kmax // sb, super_body,
                                    (acc0, trans0))
     out_ref[0] = acc
     trans_ref[0] = trans
@@ -212,10 +243,11 @@ def _bwd_kernel(counts_ref, attrs_ref, gout_ref, gtrans_ref, rho_ref,
     XLA from the saved forward outputs), sigma_i = running sum of
     w_j phi_j (j <= i), trans_final = saved forward transmittance."""
     P = tile * tile
+    sb = _superblock(kmax)
     t = pl.program_id(0)
     px, py = _pixel_grid(t, ntx, tile)
-    tri_s = _tri(strict=True)
-    tri_i = _tri(strict=False)
+    tri_s = _tri(True, sb)
+    tri_i = _tri(False, sb)
     cnt = counts_ref[t]
     g = gout_ref[0]                         # (16, P)
     g_trans = gtrans_ref[0]                 # (1, P)
@@ -223,23 +255,21 @@ def _bwd_kernel(counts_ref, attrs_ref, gout_ref, gtrans_ref, rho_ref,
     trans_final = transf_ref[0]             # (1, P)
 
     def super_body(j, carry):
-        k0 = pl.multiple_of(j * SUPER, SUPER)
+        k0 = pl.multiple_of(j * sb, sb)
 
         def compute(c):
             sigma, trans = c
-            chunk = attrs_ref[0, pl.ds(k0, SUPER), :]       # (SUPER, 16)
+            chunk = attrs_ref[0, pl.ds(k0, sb), :]       # (sb, 16)
             alpha, dx, dy, q, unclamped = _super_alpha(chunk, px, py)
             one_m = 1.0 - alpha
             one_m_safe = jnp.maximum(one_m, 1e-3)
             excl = _excl_prod(one_m, tri_s)
-            T_i = excl * trans                               # (SUPER, P)
+            T_i = excl * trans                               # (sb, P)
             w = alpha * T_i
-            # phi (SUPER, P) = chunk @ g on the MXU
-            phi = jax.lax.dot_general(
-                chunk, g, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC)
+            # phi (sb, P) = chunk @ g on the MXU
+            phi = _split_dot(chunk, g, ((1,), (0,)))
             # inclusive prefix sum of w*phi as one triangular MXU matmul
-            sigma_i = sigma + _tri_matmul(tri_i, w * phi)    # (SUPER, P)
+            sigma_i = sigma + _tri_matmul(tri_i, w * phi)    # (sb, P)
             da = (phi * T_i - (rho - sigma_i) / one_m_safe
                   - g_trans * trans_final / one_m_safe)
             active = alpha > 0.0
@@ -249,7 +279,7 @@ def _bwd_kernel(counts_ref, attrs_ref, gout_ref, gtrans_ref, rho_ref,
             dexp = jnp.where(active & unclamped,
                              jnp.exp(-0.5 * q) * da, 0.0)
             col = lambda cc: chunk[:, cc:cc + 1]
-            red = lambda x: jnp.sum(x, axis=1, keepdims=True)  # (SUPER,1)
+            red = lambda x: jnp.sum(x, axis=1, keepdims=True)  # (sb,1)
             dopa = red(dexp)
             dA = red(dq * dx * dx)
             dB = red(2.0 * dq * dx * dy)
@@ -259,31 +289,29 @@ def _bwd_kernel(counts_ref, attrs_ref, gout_ref, gtrans_ref, rho_ref,
             dmux = red(dq * (-2.0 * col(10) * dx - 2.0 * col(11) * dy))
             dmuy = red(dq * (-2.0 * col(12) * dy - 2.0 * col(11) * dx))
 
-            # direct channel grads (SUPER, 16) = w @ g^T on the MXU;
+            # direct channel grads (sb, 16) = w @ g^T on the MXU;
             # column 7 is the constant-1 alpha row (gradient dropped by
             # the attr-matrix vjp), columns 8-13 add the geometry grads
             # as one-hot outer products (no partial stores).
-            d_chunk = jax.lax.dot_general(
-                w, g, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC)
+            d_chunk = _split_dot(w, g, ((1,), (1,)))
             d_chunk = (d_chunk
                        + dmux * _lane_onehot(8) + dmuy * _lane_onehot(9)
                        + dA * _lane_onehot(10) + dB * _lane_onehot(11)
                        + dC * _lane_onehot(12) + dopa * _lane_onehot(13))
-            dattrs_ref[0, pl.ds(k0, SUPER), :] = d_chunk
-            return (sigma_i[SUPER - 1:SUPER, :],
-                    trans * (excl[SUPER - 1:SUPER, :]
-                             * one_m[SUPER - 1:SUPER, :]))
+            dattrs_ref[0, pl.ds(k0, sb), :] = d_chunk
+            return (sigma_i[sb - 1:sb, :],
+                    trans * (excl[sb - 1:sb, :]
+                             * one_m[sb - 1:sb, :]))
 
         def skip(c):
-            dattrs_ref[0, pl.ds(k0, SUPER), :] = jnp.zeros(
-                (SUPER, NCH), jnp.float32)
+            dattrs_ref[0, pl.ds(k0, sb), :] = jnp.zeros(
+                (sb, NCH), jnp.float32)
             return c
 
-        live = (jnp.max(carry[1]) > TRANS_EPS) & (j * SUPER < cnt)
+        live = (jnp.max(carry[1]) > TRANS_EPS) & (j * sb < cnt)
         return jax.lax.cond(live, compute, skip, carry)
 
-    jax.lax.fori_loop(0, kmax // SUPER, super_body,
+    jax.lax.fori_loop(0, kmax // sb, super_body,
                       (jnp.zeros((1, P), jnp.float32),
                        jnp.ones((1, P), jnp.float32)))
 
@@ -381,8 +409,9 @@ def rasterize_pallas(
 ) -> RenderOutput:
     """Drop-in rasterize() with the fused Pallas blend. Forward output
     matches ops.rasterize.rasterize; gradients flow to all gaussian
-    parameters and (theta, rho). max_per_tile must be a multiple of 128."""
-    assert max_per_tile % SUPER == 0, "max_per_tile must be a multiple of 128"
+    parameters and (theta, rho). max_per_tile must be divisible by a
+    power-of-two superblock >= 8 (any multiple of 256 is ideal)."""
+    _superblock(max_per_tile)   # validates divisibility
     if theta is not None:
         T_c_w = apply_pose_delta(T_c_w, theta, rho)
     if bg is None:

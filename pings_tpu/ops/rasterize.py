@@ -133,10 +133,16 @@ def project_gaussians(
     det_safe = jnp.maximum(det, 1e-12)
     conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], axis=-1)
 
-    # radius: 3 sigma of the larger eigenvalue
+    # radius: sqrt(q_max) sigma of the larger eigenvalue, where q_max is
+    # the blend cutoff actually applied per pixel: q < 9 (3-sigma ellipse)
+    # AND alpha = opa*exp(-q/2) >= 1/255  =>  q <= 2*ln(255*opa). Low-
+    # opacity splats get tighter footprints -> fewer tile pairs to sort
+    # and blend (the CUDA reference uses a fixed 3 sigma).
     mid = 0.5 * (a + c)
     lam = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
-    radius = 3.0 * jnp.sqrt(jnp.maximum(lam, 0.0))
+    q_max = jnp.minimum(9.0, 2.0 * jnp.log(
+        jnp.maximum(255.0 * opacities, 1.0 + 1e-6)))
+    radius = jnp.sqrt(q_max * jnp.maximum(lam, 0.0))
 
     in_front = (tz > near) & (tz < far)
     on_screen = (
@@ -227,15 +233,34 @@ def _tile_range(means2d, r, tile, ntx, nty):
     return tx0, ty0, tx1 - tx0 + 1, ty1 - ty0 + 1
 
 
-def _enum_pairs(tx0, ty0, sx, sy, ok, span_cap, ntx, T):
+def _enum_pairs(tx0, ty0, sx, sy, ok, span_cap, ntx, T,
+                means2d=None, r=None, tile=16):
     """Row-major enumeration of up to span_cap covered tiles. Returns
     (G, span_cap) tile ids with invalid entries mapped to the dump tile
-    T, so one sort pushes them past every real tile."""
+    T, so one sort pushes them past every real tile.
+
+    When (means2d, r) are given, candidates whose tile rectangle does
+    not intersect the splat's bounding circle are dumped too (exact
+    point-to-rect distance test). The bbox enumeration covers the
+    circumscribed square, so for a 3x3 footprint ~20-30% of candidates
+    are corner tiles outside the circle — dropping them shrinks the
+    per-tile counts (=> smaller max_per_tile tables downstream), at the
+    cost of a few VPU ops per candidate."""
     e = jnp.arange(span_cap, dtype=jnp.int32)
     ex = e[None, :] % jnp.maximum(sx, 1)[:, None]
     ey = e[None, :] // jnp.maximum(sx, 1)[:, None]
-    ptile = (ty0[:, None] + ey) * ntx + (tx0[:, None] + ex)
+    tix = tx0[:, None] + ex
+    tiy = ty0[:, None] + ey
+    ptile = tiy * ntx + tix
     pok = ok[:, None] & (e[None, :] < (sx * sy)[:, None])
+    if means2d is not None:
+        fx = tix.astype(jnp.float32) * tile
+        fy = tiy.astype(jnp.float32) * tile
+        cx = means2d[:, 0:1]
+        cy = means2d[:, 1:2]
+        ddx = jnp.clip(cx, fx, fx + tile) - cx
+        ddy = jnp.clip(cy, fy, fy + tile) - cy
+        pok = pok & (ddx * ddx + ddy * ddy <= (r * r)[:, None])
     return jnp.where(pok, ptile, T)
 
 
@@ -307,7 +332,8 @@ def bin_gaussians(
         r_s = jnp.minimum(r_raw, r_cap_s)
         tx0, ty0, sx, sy = _tile_range(p.means2d, r_s, tile, ntx, nty)
         tiles_s = _enum_pairs(tx0, ty0, sx, sy, p.valid & ~in_large,
-                              small_span, ntx, T)
+                              small_span, ntx, T,
+                              means2d=p.means2d, r=r_s, tile=tile)
         key_s = pack_key(tiles_s, rank[:, None])
 
         # large tier: gathered rows, radius <= r_cap_l
@@ -315,7 +341,8 @@ def bin_gaussians(
         m2d_l = p.means2d[idx_c]
         r_l = jnp.minimum(r_raw[idx_c], r_cap_l)
         tx0l, ty0l, sxl, syl = _tile_range(m2d_l, r_l, tile, ntx, nty)
-        tiles_l = _enum_pairs(tx0l, ty0l, sxl, syl, sel, max_span, ntx, T)
+        tiles_l = _enum_pairs(tx0l, ty0l, sxl, syl, sel, max_span, ntx, T,
+                              means2d=m2d_l, r=r_l, tile=tile)
         key_l = pack_key(tiles_l, rank[idx_c][:, None])
 
         key = jnp.concatenate([key_s.reshape(-1), key_l.reshape(-1)])
@@ -324,7 +351,8 @@ def bin_gaussians(
     else:
         r = jnp.minimum(r_raw, r_cap_s)
         tx0, ty0, sx, sy = _tile_range(p.means2d, r, tile, ntx, nty)
-        tiles = _enum_pairs(tx0, ty0, sx, sy, p.valid, small_span, ntx, T)
+        tiles = _enum_pairs(tx0, ty0, sx, sy, p.valid, small_span, ntx, T,
+                            means2d=p.means2d, r=r, tile=tile)
         key = pack_key(tiles, rank[:, None]).reshape(-1)
         span_overflow = jnp.sum(p.valid & (r_raw > r_cap_s))
 
