@@ -55,6 +55,34 @@ def color_at(m, decoders, pts, k=6, stencil_r=1, search_alpha=0.2,
     return jnp.sum(per_nb * q.weights[..., None], axis=-2), q.valid
 
 
+def dynamic_mask_from(sdf: jnp.ndarray, certainty: jnp.ndarray,
+                      valid: jnp.ndarray, resolution: float,
+                      certainty_thre: float,
+                      sdf_ratio_thre: float) -> jnp.ndarray:
+    """Pure dynamic-point test (reference Mapper.dynamic_filter,
+    utils/mapper.py:528-566): a measurement is *dynamic* when it lands
+    in *stable free space* — the map is confident there (blended
+    neighbor certainty above ``certainty_thre``) yet the SDF says the
+    point floats well off any surface (sdf > ratio * resolution)."""
+    return (valid & (certainty > certainty_thre)
+            & (sdf > sdf_ratio_thre * resolution))
+
+
+def dynamic_points(m, decoders, pts, sigma_scale, certainty_thre,
+                   sdf_ratio_thre, k=6, stencil_r=1, search_alpha=0.2):
+    """Dynamic mask for new scan points against the current map
+    (reference: utils/mapper.py:528-566). Returns (N,) bool; True means
+    the point is a likely dynamic object and should be dropped before
+    map insertion / SDF sampling."""
+    q = npm.query_feature(m, pts, k=k, stencil_r=stencil_r,
+                          search_alpha=search_alpha)
+    per_nb = dec.mlp_forward(decoders["sdf"], q.feat)[..., 0] * sigma_scale
+    sdf = jnp.sum(per_nb * q.weights, axis=-1)
+    cert = jnp.sum(m.certainty[q.nn_idx] * q.weights, axis=-1)
+    return dynamic_mask_from(sdf, cert, q.valid, m.resolution,
+                             certainty_thre, sdf_ratio_thre)
+
+
 def sem_at(m, decoders, pts, k=6, stencil_r=1, search_alpha=0.2):
     q = npm.query_feature(m, pts, k=k, stencil_r=stencil_r,
                           search_alpha=search_alpha)

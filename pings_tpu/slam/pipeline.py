@@ -283,6 +283,17 @@ class SlamSystem:
             colors[new] = c[new]
             valid_color |= new
 
+        # dynamic filter: drop measurements in stable free space
+        # (reference Mapper.dynamic_filter, utils/mapper.py:528-566)
+        if cfg.dynamic_filter_on and fid > 0:
+            dyn = field.dynamic_points(
+                self.m, self.decoders, jnp.asarray(pts_w),
+                cfg.logistic_gaussian_ratio * cfg.sigma_sigmoid_m,
+                cfg.dynamic_certainty_thre, cfg.dynamic_sdf_ratio_thre,
+                k=cfg.query_nn_k, stencil_r=cfg.num_nei_cells,
+                search_alpha=cfg.search_alpha)
+            mask &= ~np.asarray(dyn)
+
         jm = jnp.asarray(mask)
         jp = jnp.asarray(pts_w)
         jc = jnp.asarray(colors)

@@ -141,3 +141,50 @@ class TestSdfConvergence:
         cpred, cvalid = field.color_at(m, decoders, probes[:1])
         assert bool(cvalid[0])
         np.testing.assert_allclose(np.array(cpred[0]), 0.5, atol=0.15)
+
+
+class TestDynamicFilter:
+    def test_pure_rule(self):
+        sdf = jnp.array([0.05, 0.8, 0.8, 0.8])
+        cert = jnp.array([9.0, 9.0, 1.0, 9.0])
+        valid = jnp.array([True, True, True, False])
+        dyn = field.dynamic_mask_from(sdf, cert, valid, resolution=0.3,
+                                      certainty_thre=5.0,
+                                      sdf_ratio_thre=1.5)
+        # only the confident free-space point with sdf > 0.45 is dynamic
+        assert dyn.tolist() == [False, True, False, False]
+
+    def test_against_trained_map(self, rng):
+        from tests.helpers import build_trained_corner_map
+        cfg = Config.load(overrides=dict(
+            max_points=16384, buffer_size=1 << 16, voxel_size_m=0.3,
+            feature_dim=8, color_feature_dim=8, bs=1024,
+            geo_mlp_hidden_dim=32, color_mlp_hidden_dim=32,
+            pool_capacity=1 << 15, lr=0.02, lr_mlp_base=2e-3,
+            dynamic_filter_on=True, dynamic_sdf_ratio_thre=0.5))
+        m, decoders = build_trained_corner_map(rng, cfg)
+        sig = cfg.logistic_gaussian_ratio * cfg.sigma_sigmoid_m
+        # probes: on the floor, and hovering 0.3 m above it (within the
+        # neighbor-stencil reach; trained sdf there ~ 0.18-0.20, above
+        # the 0.5 * voxel = 0.15 m dynamic threshold)
+        surf = jnp.array([[1.0, 1.0, 0.0], [1.3, 0.8, 0.0]])
+        free = jnp.array([[1.0, 1.0, 0.3], [1.3, 0.8, 0.3]])
+        probes = jnp.concatenate([surf, free])
+
+        def dyn_mask():
+            return np.asarray(field.dynamic_points(
+                m, decoders, probes, sig, cfg.dynamic_certainty_thre,
+                cfg.dynamic_sdf_ratio_thre, k=cfg.query_nn_k))
+
+        # a fresh map has no certainty -> nothing is dynamic yet
+        assert not dyn_mask().any()
+        # pump certainty with repeated endpoint queries (the pipeline
+        # accumulates it every frame)
+        for _ in range(40):
+            q = npm.query_feature(m, probes, k=cfg.query_nn_k)
+            m = npm.accumulate_certainty(m, q)
+        dyn = dyn_mask()
+        # surface measurements are never dynamic; confident free-space
+        # ones are
+        assert not dyn[:2].any(), dyn
+        assert dyn[2:].all(), dyn
