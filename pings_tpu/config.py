@@ -71,6 +71,8 @@ class Config:
     voxel_size_m: float = 0.3
     max_points: int = 1 << 20          # capacity of the global point buffer
     max_local_points: int = 1 << 17    # capacity of the local map view
+    max_surrounding_points: int = 1 << 13  # capacity of the frozen
+                                       # surrounding-annulus render background
     buffer_size: int = 1 << 22         # spatial hash table size
     feature_dim: int = 8
     color_feature_dim: int = 8
@@ -175,6 +177,11 @@ class Config:
     mapping_iters: int = 15
     new_obs_ratio_based_iters: bool = True
     adaptive_iters: bool = True
+    # new-observation-ratio thresholds for the adaptive iteration offset
+    # (reference utils/config.py:218-220, mapper.py:499-512)
+    new_sample_ratio_less: float = 0.02
+    new_sample_ratio_more: float = 0.15
+    new_sample_ratio_restart: float = 0.3
     lr: float = 0.01
     lr_mlp_base: float = 1e-3
     lr_exposure: float = 1e-3

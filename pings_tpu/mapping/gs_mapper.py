@@ -127,7 +127,8 @@ def make_gsdf_step(cfg, optimizer, width: int, height: int,
     @functools.partial(jax.jit, donate_argnums=(0, 1),
                        static_argnames=("train_pose",))
     def step(params, opt_state, static_map, decoders, local_idx, cam,
-             cam_slot, sdf_batch, freeze_geo, train_pose=False):
+             cam_slot, sdf_batch, freeze_geo, surrounding=None,
+             train_pose=False):
 
         def loss_fn(p):
             m, d = apply_gs_params(static_map, decoders, p)
@@ -139,7 +140,8 @@ def make_gsdf_step(cfg, optimizer, width: int, height: int,
                 rgb=m.rgb[local_idx],
                 valid=(local_idx < m.capacity) & m.valid_gs_mask[local_idx],
             )
-            exposure = jax.tree.map(lambda x: x[cam_slot], p["exposure"])
+            exposure = jax.tree.map(lambda x: x[cam_slot], p["exposure"]) \
+                if cfg.exposure_correction_on else None
             delta = p["cam_delta"][cam_slot]
             theta, rho = delta[:3], delta[3:]
             if not train_pose:
@@ -151,9 +153,10 @@ def make_gsdf_step(cfg, optimizer, width: int, height: int,
                 exposure=exposure,
                 affine_exposure=cfg.affine_exposure_correction,
                 theta=theta, rho=rho, bg=bg,
+                surrounding=surrounding,
                 spawn_kwargs=spawn_kwargs,
                 tile=cfg.tile_size, max_per_tile=cfg.max_gs_per_tile,
-                chunk=32,
+                chunk=32, gs_type=cfg.gs_type,
             )
 
             # photometric (mapper.py:1240-1246)
@@ -212,9 +215,22 @@ def make_gsdf_step(cfg, optimizer, width: int, height: int,
                                           grad_delta, k, stencil_r, alpha_s)
             eik = losses.eikonal_loss(gb, vb[:eik_n])
 
+            scale_dims = 3 if cfg.gs_type == "3d_gs" else 2
             iso = losses.isotropic_loss(
-                g.scales, g.valid.astype(jnp.float32)) \
+                g.scales, g.valid.astype(jnp.float32), n_dims=scale_dims) \
                 if cfg.lambda_isotropic > 0 else jnp.float32(0.0)
+            area = losses.area_loss(
+                g.scales, g.valid.astype(jnp.float32), cfg.voxel_size_m,
+                n_dims=scale_dims) \
+                if cfg.lambda_area > 0 else jnp.float32(0.0)
+            # 2DGS depth distortion (reference rend_dist,
+            # mapper.py:1325-1326): mean over non-sky pixels
+            if cfg.lambda_distortion > 0 and res.distortion is not None:
+                nonsky = 1.0 - cam.sky
+                distort = jnp.sum(res.distortion * nonsky) / jnp.maximum(
+                    jnp.sum(nonsky), 1.0)
+            else:
+                distort = jnp.float32(0.0)
 
             total = (
                 photo
@@ -225,6 +241,8 @@ def make_gsdf_step(cfg, optimizer, width: int, height: int,
                 + cfg.lambda_gs_sdf_consist * gs_sdf
                 + cfg.lambda_gs_sdf_normal_consist * gs_nrm
                 + cfg.lambda_isotropic * iso
+                + cfg.lambda_area * area
+                + cfg.lambda_distortion * distort
                 + bce + cfg.weight_e * eik
             )
             metrics = GsStepMetrics(

@@ -90,11 +90,23 @@ def normal_consistency_loss(normal: jnp.ndarray, d2n: jnp.ndarray,
     return jnp.sum((1.0 - cos) * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
-def isotropic_loss(scales: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Penalize anisotropic gaussians (mapper.py:1323-1330 style)."""
-    mean_s = jnp.mean(scales, axis=-1, keepdims=True)
-    err = jnp.mean(jnp.abs(scales - mean_s), axis=-1)
+def isotropic_loss(scales: jnp.ndarray, valid: jnp.ndarray,
+                   n_dims: int = 3) -> jnp.ndarray:
+    """Penalize anisotropic gaussians (mapper.py:1392-1400): 3 scale dims
+    for 3DGS, the first 2 for surfel/2DGS (the third is flat)."""
+    s = scales[..., :n_dims]
+    mean_s = jnp.mean(s, axis=-1, keepdims=True)
+    err = jnp.mean(jnp.abs(s - mean_s), axis=-1)
     return jnp.sum(err * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def area_loss(scales: jnp.ndarray, valid: jnp.ndarray, voxel_size: float,
+              n_dims: int = 2) -> jnp.ndarray:
+    """Splat area (surfel/2DGS, s0*s1 / voxel^2) or volume (3DGS,
+    s0*s1*s2 / voxel^3) regularizer (reference mapper.py:1404-1413)."""
+    prod = jnp.prod(scales[..., :n_dims], axis=-1)
+    norm = voxel_size ** n_dims
+    return (jnp.sum(prod * valid) / jnp.maximum(jnp.sum(valid), 1.0)) / norm
 
 
 def psnr(pred: jnp.ndarray, target: jnp.ndarray,

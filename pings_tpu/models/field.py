@@ -91,6 +91,42 @@ def sem_at(m, decoders, pts, k=6, stencil_r=1, search_alpha=0.2):
     return jax.nn.log_softmax(blended, axis=-1), q.valid
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "stencil_r", "search_alpha", "min_nn"))
+def check_invalid_gs(
+    m: npm.NeuralPointMap,
+    decoders,
+    local_idx: jnp.ndarray,        # (L,) local point rows (cap = padding)
+    sigma_scale: float,
+    stability_thre: jnp.ndarray,   # () certainty gate (reference: 1.0)
+    sdf_thre: jnp.ndarray,         # () |SDF| gate, ratio * voxel_size
+    k: int = 6,
+    stencil_r: int = 2,
+    search_alpha: float = 0.2,
+    min_nn: int = 6,
+) -> npm.NeuralPointMap:
+    """Invalidate Gaussian spawning for neural points stranded off the SDF
+    zero level set (reference Mapper.check_invalid_neural_points,
+    utils/mapper.py:1636-1655): for *stable* local points (certainty above
+    ``stability_thre``), query the SDF at the point position; the point
+    keeps/regains ``valid_gs_mask`` iff |SDF| < ``sdf_thre`` and the query
+    found >= ``min_nn`` neighbors. Unstable points keep their mask."""
+    pts = m.positions[local_idx]
+    q = npm.query_feature(m, pts, k=k, stencil_r=stencil_r,
+                          search_alpha=search_alpha)
+    per_nb = dec.mlp_forward(decoders["sdf"], q.feat)[..., 0] * sigma_scale
+    sdf = jnp.sum(per_nb * q.weights, axis=-1)
+    nn_ok = q.nn_count >= min_nn
+    stable = (m.certainty[local_idx] > stability_thre) & (local_idx < m.capacity)
+    new_valid = (jnp.abs(sdf) < sdf_thre) & nn_ok
+    cur = m.valid_gs_mask[local_idx]
+    upd = jnp.where(stable, new_valid, cur)
+    mask = m.valid_gs_mask.at[local_idx].set(upd, mode="drop")
+    mask = mask.at[-1].set(False)
+    return m.replace(valid_gs_mask=mask)
+
+
 def sdf_grad_numerical(
     m, decoders, pts, sigma_scale, delta: float,
     k=6, stencil_r=1, search_alpha=0.2, use_local_mask=False,

@@ -339,10 +339,17 @@ def adjust_map(m: NeuralPointMap, pose_deltas: jnp.ndarray) -> NeuralPointMap:
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def recreate_hash(m: NeuralPointMap) -> NeuralPointMap:
+def recreate_hash(m: NeuralPointMap,
+                  ref_ts: jnp.ndarray | None = None) -> NeuralPointMap:
     """Rebuild the hash table from scratch. Bucket conflicts resolve to the
     most recently updated point (reference time/stability dedup,
-    neural_gaussians.py:939-1024). Deterministic two-pass segment_max."""
+    neural_gaussians.py:939-1024). Deterministic two-pass segment_max.
+
+    With ``ref_ts`` given, conflicts instead resolve to the point whose
+    creation time is *closest to ref_ts* — the reference re-buckets around
+    the loop-candidate frame before verifying a loop closure so the tracker
+    registers against the revisited (old) geometry, not the newest points
+    (pings.py:576-610 recreate_hash at loop)."""
     cap = m.capacity
     coords = jnp.floor(m.positions / m.resolution).astype(jnp.int32)
     bucket = voxel_hash(coords, m.buffer_size)
@@ -350,7 +357,10 @@ def recreate_hash(m: NeuralPointMap) -> NeuralPointMap:
     active = m.valid_mask & (arange < m.count)
     bsel = jnp.where(active, bucket, m.buffer_size)
 
-    ts = jnp.where(active, m.ts_update, -1)
+    if ref_ts is None:
+        ts = jnp.where(active, m.ts_update, -1)
+    else:
+        ts = jnp.where(active, -jnp.abs(m.ts_create - ref_ts), -(1 << 30))
     best_ts = jax.ops.segment_max(ts, bsel, num_segments=m.buffer_size + 1)
     is_best = active & (ts >= best_ts[bsel])
     cand = jnp.where(is_best, arange, jnp.int32(cap + 1))

@@ -99,6 +99,8 @@ class RenderResult(NamedTuple):
     contrib: jnp.ndarray      # per spawned gaussian (local part only)
     gaussians: SpawnedGaussians
     n_overflow: jnp.ndarray
+    depth_median: Optional[jnp.ndarray] = None  # surfel/2DGS modes
+    distortion: Optional[jnp.ndarray] = None    # 2DGS mode
 
 
 def render(
@@ -119,9 +121,15 @@ def render(
     max_per_tile: int = 512,
     chunk: int = 32,
     normalize_depth: bool = True,
+    gs_type: str = "3d_gs",
 ) -> RenderResult:
     """Spawn + rasterize + exposure. Differentiable w.r.t. local point
-    features, decoder params, exposure, and (theta, rho)."""
+    features, decoder params, exposure, and (theta, rho).
+
+    gs_type selects the rasterizer like the reference render()
+    (gaussian_renderer/__init__.py:88-98): "3d_gs" | "gaussian_surfel"
+    (flat splats, per-pixel plane depth) | "2d_gs" (ray-disc
+    intersection, median depth + distortion extras)."""
     spawn_kwargs = spawn_kwargs or {}
     T_c_w = cam.T_c_w
     if theta is not None:
@@ -142,7 +150,9 @@ def render(
         means, quats, scales = g.means, g.quats, g.scales
         alphas, colors, valid = g.alphas, g.colors, g.valid
 
-    if _use_pallas():
+    mode = {"3d_gs": "3dgs", "gaussian_surfel": "surfel",
+            "2d_gs": "2dgs"}[gs_type]
+    if _use_pallas() and mode == "3dgs":
         from pings_tpu.ops.raster_pallas import rasterize_pallas
         out = rasterize_pallas(
             means, quats, scales, alphas, colors, valid,
@@ -155,7 +165,7 @@ def render(
             means, quats, scales, alphas, colors, valid,
             T_c_w, cam.K, width, height, bg=bg,
             tile=tile, max_per_tile=max_per_tile, chunk=chunk,
-            normalize_depth=normalize_depth,
+            normalize_depth=normalize_depth, mode=mode,
         )
     rgb = out.rgb
     if exposure is not None:
@@ -165,4 +175,5 @@ def render(
         rgb=rgb, depth=out.depth, alpha=out.alpha, normal=out.normal,
         contrib=out.contrib[:n_local], gaussians=g,
         n_overflow=out.n_overflow,
+        depth_median=out.depth_median, distortion=out.distortion,
     )

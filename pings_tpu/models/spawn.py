@@ -66,6 +66,21 @@ def gather_local_data(m, mask: jnp.ndarray, size: int) -> LocalPointData:
     )
 
 
+def empty_spawned(n: int) -> SpawnedGaussians:
+    """An all-invalid Gaussian buffer of fixed size (used as the
+    surrounding-background placeholder before the decoder freezes, so the
+    jitted training step keeps one signature)."""
+    return SpawnedGaussians(
+        means=jnp.zeros((n, 3)),
+        quats=jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (n, 1)),
+        scales=jnp.full((n, 3), 1e-6),
+        alphas=jnp.zeros((n,)),
+        colors=jnp.zeros((n, 3)),
+        valid=jnp.zeros((n,), bool),
+        alpha_raw=jnp.zeros((n,)),
+    )
+
+
 def spawn_kwargs_from_cfg(cfg) -> dict:
     """The spawn_gaussians options implied by a Config (single source for
     the mapper, GUI/inspector, and eval render paths)."""

@@ -387,6 +387,9 @@ class RenderOutput(NamedTuple):
     normal: jnp.ndarray    # (H, W, 3)
     contrib: jnp.ndarray   # (N,) summed blend weight per gaussian
     n_overflow: jnp.ndarray
+    # surfel / 2DGS extras (None in plain 3DGS mode)
+    depth_median: jnp.ndarray | None = None  # (H, W) depth at T ~ 0.5
+    distortion: jnp.ndarray | None = None    # (H, W) ray depth distortion
 
 
 @functools.partial(
@@ -507,6 +510,256 @@ def blend_tiles(
 
 
 # ---------------------------------------------------------------------------
+# Surfel / 2DGS modes
+# ---------------------------------------------------------------------------
+
+class ProjectedSurfels(NamedTuple):
+    """ProjectedGaussians plus the per-splat plane/ray-intersection data.
+
+    ``base`` carries the EWA footprint of the *flattened* gaussian — exact
+    for surfel alpha, and the binning radius + screen-space low-pass for
+    2DGS. Reference rasterizers: diff-gaussian-surfel-rasterization-w-pose
+    (config [surface_on, normalize_depth_on, perpix_depth_on, ...],
+    gaussian_renderer/__init__.py:137-142) and diff-surfel-rasterization
+    (2DGS allmap, __init__.py:349-409)."""
+    base: ProjectedGaussians
+    plane_n: jnp.ndarray    # (N, 3) cam-frame unit normal (toward camera)
+    plane_d: jnp.ndarray    # (N,)  n . p_cam — per-pixel plane depth term
+    t0: jnp.ndarray         # (N, 3) 2DGS rows: (u,v,1) -> (x z, y z, z)
+    t1: jnp.ndarray
+    t2: jnp.ndarray
+
+
+def project_surfels(
+    means3d, quats, scales, opacities, colors, valid,
+    T_c_w, K, width: int, height: int,
+    mode: str = "surfel",
+) -> ProjectedSurfels:
+    """Project flat splats. mode: "surfel" (flattened-EWA alpha, per-pixel
+    plane depth) or "2dgs" (ray-disc intersection alpha/depth)."""
+    thin = scales.at[:, 2].set(1e-7)   # the splat is a disc: flatten z
+    base = project_gaussians(means3d, quats, thin, opacities, colors,
+                             valid, T_c_w, K, width, height)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    R_cw = T_c_w[:3, :3]
+    p_c = means3d @ R_cw.T + T_c_w[:3, 3]                     # (N, 3)
+    q = quats / jnp.sqrt(jnp.sum(quats * quats, axis=-1, keepdims=True)
+                         + 1e-12)
+    qw, qx, qy, qz = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    g = [[1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz),
+          2 * (qx * qz + qw * qy)],
+         [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz),
+          2 * (qy * qz - qw * qx)],
+         [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx),
+          1 - 2 * (qx * qx + qy * qy)]]
+    V = [[sum(R_cw[i, k] * g[k][j] for k in range(3)) for j in range(3)]
+         for i in range(3)]                   # cam-frame splat axes (cols)
+    v_u = jnp.stack([V[0][0], V[1][0], V[2][0]], -1)          # (N, 3)
+    v_v = jnp.stack([V[0][1], V[1][1], V[2][1]], -1)
+    n = jnp.stack([V[0][2], V[1][2], V[2][2]], -1)
+    flip = jnp.where(jnp.sum(n * p_c, axis=-1, keepdims=True) > 0, -1.0, 1.0)
+    n = n * flip
+    plane_d = jnp.sum(n * p_c, axis=-1)
+
+    # 2DGS rows: S = [s0 v_u, s1 v_v, p_c] maps (u,v,1) -> cam point;
+    # K @ S maps it to (x z, y z, z) pixel-homogeneous coords
+    s0 = scales[:, 0:1]
+    s1 = scales[:, 1:2]
+    S0 = s0 * v_u                                             # (N, 3) col u
+    S1 = s1 * v_v
+    S2 = p_c
+    row = lambda i: jnp.stack([S0[:, i], S1[:, i], S2[:, i]], -1)
+    sx, sy, sz = row(0), row(1), row(2)       # (N,3) each over (u,v,1)
+    t0 = fx * sx + cx * sz
+    t1 = fy * sy + cy * sz
+    t2 = sz
+    return ProjectedSurfels(base=base, plane_n=n, plane_d=plane_d,
+                            t0=t0, t1=t1, t2=t2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile", "chunk", "mode",
+                     "normalize_depth", "cutoff_q", "alpha_floor",
+                     "depth_map_scale"))
+def blend_tiles_surfel(
+    p: ProjectedSurfels,
+    bins: TileBins,
+    bg: jnp.ndarray,
+    K: jnp.ndarray,
+    width: int, height: int,
+    tile: int = 16,
+    chunk: int = 32,
+    mode: str = "surfel",
+    normalize_depth: bool = True,
+    cutoff_q: float = 9.0,
+    alpha_floor: float = 1.0 / 255.0,
+    depth_map_scale: float = 1.0,
+) -> RenderOutput:
+    """Front-to-back blending for flat splats.
+
+    mode="surfel": alpha from the flattened EWA conic, per-pixel depth from
+    the splat's tangent plane (reference perpix_depth_on), normal blending,
+    alpha-normalized depth (normalize_depth_on).
+    mode="2dgs": alpha from the exact ray-disc intersection
+    G = exp(-(u^2+v^2)/2) with the 2DGS screen-space low-pass
+    (max with a sigma^2=2 px gaussian at the projected center), per-pixel
+    intersection depth, plus the 2DGS extras: median depth (depth where
+    transmittance first drops below 0.5) and the per-ray depth distortion
+    map (online pairwise |m_i - m_j| with mapped depth m = z/(z+scale),
+    reference allmap[5:7], gaussian_renderer/__init__.py:378-401).
+    """
+    b = p.base
+    _fx, _fy = K[0, 0], K[1, 1]
+    _cx, _cy = K[0, 2], K[1, 2]
+    ntx = (width + tile - 1) // tile
+    nty = (height + tile - 1) // tile
+    T = ntx * nty
+    P = tile * tile
+    Kmax = bins.rank_tbl.shape[1]
+
+    tx = (jnp.arange(T, dtype=jnp.int32) % ntx) * tile
+    ty = (jnp.arange(T, dtype=jnp.int32) // ntx) * tile
+    pxi = jnp.arange(tile)
+    px = (tx[:, None, None] + pxi[None, None, :] + 0.5)
+    py = (ty[:, None, None] + pxi[None, :, None] + 0.5)
+    px = jnp.broadcast_to(px, (T, tile, tile)).reshape(T, P)
+    py = jnp.broadcast_to(py, (T, tile, tile)).reshape(T, P)
+
+    nchunks = Kmax // chunk
+    assert nchunks * chunk == Kmax, "max_per_tile must be divisible by chunk"
+    gidx_c = bins.gauss_idx.reshape(T, nchunks, chunk)
+    mask_c = bins.mask.reshape(T, nchunks, chunk)
+
+    def body(carry, xs):
+        (trans, acc_rgb, acc_d, acc_n, acc_a, med, med_set, dist,
+         accA, accM1) = carry
+        gi, gm = xs                                   # (T, chunk)
+        mu = b.means2d[gi]
+        con = b.conic[gi]
+        op = b.opacity[gi]
+        col = b.color[gi]
+        nor = b.normal[gi]
+        pn = p.plane_n[gi]                            # (T, chunk, 3)
+        pd = p.plane_d[gi]
+
+        dx = px[:, None, :] - mu[..., 0:1]            # (T, chunk, P)
+        dy = py[:, None, :] - mu[..., 1:2]
+        q2 = (con[..., 0:1] * dx * dx + con[..., 2:3] * dy * dy
+              + 2.0 * con[..., 1:2] * dx * dy)
+
+        if mode == "surfel":
+            G = jnp.exp(-0.5 * q2)
+            # per-pixel plane depth z = (n.p_c) / (n.d_pix)
+            dpx = (px[:, None, :] - _cx) / _fx
+            dpy = (py[:, None, :] - _cy) / _fy
+            ndotd = (pn[..., 0:1] * dpx + pn[..., 1:2] * dpy
+                     + pn[..., 2:3])
+            z = pd[..., None] / jnp.where(jnp.abs(ndotd) < 1e-6,
+                                          jnp.sign(ndotd) * 1e-6 + 1e-12,
+                                          ndotd)
+            z_ok = z > 0.01
+            z = jnp.where(z_ok, z, b.depth[gi][..., None])
+            qcut = q2
+        else:  # 2dgs: ray-disc intersection
+            t0g = p.t0[gi]                            # (T, chunk, 3)
+            t1g = p.t1[gi]
+            t2g = p.t2[gi]
+            # hu = px * t2 - t0; hv = py * t2 - t1 (over (u,v,1))
+            hu = px[:, None, :, None] * t2g[:, :, None, :] \
+                - t0g[:, :, None, :]                  # (T, chunk, P, 3)
+            hv = py[:, None, :, None] * t2g[:, :, None, :] \
+                - t1g[:, :, None, :]
+            cr = jnp.cross(hu, hv)                    # (T, chunk, P, 3)
+            w_h = cr[..., 2]
+            w_safe = jnp.where(jnp.abs(w_h) < 1e-9,
+                               jnp.sign(w_h) * 1e-9 + 1e-12, w_h)
+            u = cr[..., 0] / w_safe
+            v = cr[..., 1] / w_safe
+            rho_obj = u * u + v * v
+            # screen-space low-pass: sigma^2 = 2 px around the center
+            rho_2d = (dx * dx + dy * dy) / 2.0
+            qcut = jnp.minimum(rho_obj, rho_2d)
+            G = jnp.exp(-0.5 * qcut)
+            z = (u * t2g[..., 0][..., None] + v * t2g[..., 1][..., None]
+                 + t2g[..., 2][..., None])
+            z_ok = z > 0.01
+            z = jnp.where(z_ok, z, b.depth[gi][..., None])
+
+        alpha = op[..., None] * G
+        alpha = jnp.where(
+            gm[..., None] & (qcut < cutoff_q) & (alpha >= alpha_floor)
+            & z_ok, alpha, 0.0)
+        alpha = jnp.minimum(alpha, 0.999)
+
+        one_m = 1.0 - alpha
+        cp = jnp.cumprod(one_m, axis=1)
+        excl = jnp.concatenate(
+            [jnp.ones_like(cp[:, :1]), cp[:, :-1]], axis=1)
+        T_in = excl * trans[:, None, :]               # (T, chunk, P)
+        w = alpha * T_in
+        acc_rgb = acc_rgb + jnp.einsum("tkp,tkc->tpc", w, col)
+        acc_n = acc_n + jnp.einsum("tkp,tkc->tpc", w, nor)
+        acc_d = acc_d + jnp.sum(w * z, axis=1)
+        acc_a = acc_a + jnp.sum(w, axis=1)
+
+        T_out = T_in * one_m
+        # median depth: first slot where transmittance crosses 0.5
+        crossing = (T_in > 0.5) & (T_out <= 0.5)
+        med_chunk = jnp.sum(jnp.where(crossing, z, 0.0), axis=1)
+        has_cross = jnp.any(crossing, axis=1)
+        med = jnp.where(~med_set & has_cross, med_chunk, med)
+        med_set = med_set | has_cross
+
+        if mode == "2dgs":
+            # online pairwise depth distortion with mapped depth
+            m_map = z / (z + depth_map_scale)
+            cw = jnp.cumsum(w, axis=1)
+            cwm = jnp.cumsum(w * m_map, axis=1)
+            A_prev = accA[:, None, :] + cw - w        # exclusive prefixes
+            M1_prev = accM1[:, None, :] + cwm - w * m_map
+            dist = dist + 2.0 * jnp.sum(
+                w * (m_map * A_prev - M1_prev), axis=1)
+            accA = accA + cw[:, -1, :]
+            accM1 = accM1 + cwm[:, -1, :]
+
+        trans = trans * cp[:, -1, :]
+        return (trans, acc_rgb, acc_d, acc_n, acc_a, med, med_set, dist,
+                accA, accM1), None
+
+    init = (
+        jnp.ones((T, P)), jnp.zeros((T, P, 3)), jnp.zeros((T, P)),
+        jnp.zeros((T, P, 3)), jnp.zeros((T, P)),
+        jnp.zeros((T, P)), jnp.zeros((T, P), bool), jnp.zeros((T, P)),
+        jnp.zeros((T, P)), jnp.zeros((T, P)),
+    )
+    xs = (jnp.moveaxis(gidx_c, 1, 0), jnp.moveaxis(mask_c, 1, 0))
+    (trans, rgb, d, nrm, a, med, med_set, dist, _, _), _ = jax.lax.scan(
+        jax.checkpoint(body), init, xs)
+
+    rgb = rgb + trans[..., None] * bg
+    if normalize_depth:
+        d = d / jnp.maximum(a, 1e-6)
+
+    def untile(x):
+        x = x.reshape(nty, ntx, tile, tile, -1)
+        x = jnp.moveaxis(x, 2, 1).reshape(nty * tile, ntx * tile, -1)
+        return x[:height, :width]
+
+    n_g = b.means2d.shape[0]
+    return RenderOutput(
+        rgb=untile(rgb),
+        depth=untile(d)[..., 0],
+        alpha=untile(a)[..., 0],
+        normal=untile(nrm),
+        contrib=jnp.zeros((n_g,)),
+        n_overflow=bins.n_overflow,
+        depth_median=untile(med)[..., 0],
+        distortion=untile(dist)[..., 0] if mode == "2dgs" else None,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Top-level API
 # ---------------------------------------------------------------------------
 
@@ -519,6 +772,7 @@ def rasterize(
     chunk: int = 32, normalize_depth: bool = True,
     cutoff_q: float = 9.0, alpha_floor: float = 1.0 / 255.0,
     with_contrib: bool = False,
+    mode: str = "3dgs",
 ) -> RenderOutput:
     """Full differentiable rasterization: project -> bin -> blend.
 
@@ -528,11 +782,27 @@ def rasterize(
     tile assignment) is treated as non-differentiable structure: gradients
     flow through projection and blending only — same stop-gradient
     structure as the CUDA reference, which also fixes the sort in backward.
+
+    mode: "3dgs" (reference diff-gaussian-rasterization-w-pose),
+    "surfel" (diff-gaussian-surfel-rasterization-w-pose: flat splats,
+    per-pixel plane depth, normals), or "2dgs" (diff-surfel-rasterization:
+    ray-disc intersection + median depth + distortion map).
     """
     if theta is not None:
         T_c_w = apply_pose_delta(T_c_w, theta, rho)
     if bg is None:
         bg = jnp.zeros(3)
+    if mode != "3dgs":
+        ps = project_surfels(means3d, quats, scales, opacities, colors,
+                             valid, T_c_w, K, width, height, mode=mode)
+        p_struct = jax.tree.map(jax.lax.stop_gradient, ps.base)
+        bins = bin_gaussians(p_struct, width, height, tile=tile,
+                             max_span=max_span, max_per_tile=max_per_tile)
+        return blend_tiles_surfel(ps, bins, bg, K, width, height,
+                                  tile=tile, chunk=chunk, mode=mode,
+                                  normalize_depth=normalize_depth,
+                                  cutoff_q=cutoff_q,
+                                  alpha_floor=alpha_floor)
     p = project_gaussians(means3d, quats, scales, opacities, colors, valid,
                           T_c_w, K, width, height)
     p_struct = jax.tree.map(jax.lax.stop_gradient, p)

@@ -80,6 +80,12 @@ class SlamSystem:
         self.lose_track_count = 0
         self.aborted = False
         self.n_loops = 0
+        # robot-stop detection (reference slam_dataset.py:709-721)
+        self.stop_count = 0
+        self.stop_status = False
+        # new-observation ratio -> adaptive iters (reference mapper.py:447-513)
+        self.new_obs_ratio = 1.0
+        self._sur_mask = None     # surrounding annulus of the local map
 
         # lazy-built jitted steps / optimizers
         self._sdf = None          # (opt, params, opt_state, step)
@@ -176,6 +182,16 @@ class SlamSystem:
                 self.odom_only_poses[-1] @ self.T_rel_last)
             step_d = float(np.linalg.norm(self.T_rel_last[:3, 3]))
             self.travel.append(self.travel[-1] + step_d)
+            # robot-stop detection: consecutive near-identity odometry
+            # steps throttle mapping (reference tranmat_close_to_identity
+            # gate, slam_dataset.py:709-721; rot tol 1e-3, tran tol
+            # 0.1 * voxel size)
+            rot_close = float(np.abs(self.T_rel_last[:3, :3]
+                                     - np.eye(3)).max()) < 1e-3
+            tran_close = step_d < 0.1 * cfg.voxel_size_m
+            self.stop_count = (self.stop_count + 1
+                               if (rot_close and tran_close) else 0)
+            self.stop_status = self.stop_count > cfg.stop_frame_thre
         self.travel_dev = self.travel_dev.at[fid].set(self.travel[-1])
         rep.pose = self.poses[-1]
         rep.timings["tracking"] = time.time() - t1
@@ -194,8 +210,12 @@ class SlamSystem:
         rep.timings["loop"] = time.time() - t2
 
         # ---------- IV. map update + SDF supervision ----------
+        # a stopped robot adds no new observations: skip the map update
+        # (reference pings.py:308) except during startup
         t3 = time.time()
-        if rep.tracking_valid and not self.aborted:
+        do_update = (rep.tracking_valid and not self.aborted
+                     and (not self.stop_status or fid < 5))
+        if do_update:
             self._map_update(pre, fid, rep)
         rep.timings["map_update"] = time.time() - t3
 
@@ -230,17 +250,24 @@ class SlamSystem:
                 init_T = T_c @ adj
         if cand_fid is None:
             return False
-        # verify by scan-to-map registration from the candidate pose
+        # re-bucket the hash around the loop context so verification
+        # registers against the *revisited* (old) geometry, then verify by
+        # scan-to-map registration from the candidate pose (reference
+        # recreate_hash-at-loop, pings.py:576-610); restore the
+        # recency-preferring hash if the loop is rejected
+        self.m = npm.recreate_hash(self.m, jnp.int32(cand_fid))
         res = self.tracker.track(self.m, self.decoders, pre.source_points,
                                  pre.source_mask, init_T,
                                  max_iter=cfg.reg_iter_n) \
             if self.tracker else None
         if res is None or not res.valid or res.degenerate:
+            self.m = npm.recreate_hash(self.m)
             return False
         T_loop = res.T_w_l  # corrected world pose of the current frame
         T_i_j = hp.se3_inv(self.poses[cand_fid]) @ T_loop
         old_poses = [p.copy() for p in self.pgo.poses]
         if not self.pgo.try_loop_closure(cand_fid, fid, T_i_j):
+            self.m = npm.recreate_hash(self.m)
             return False
         # apply corrections: poses, map, pool
         deltas = self.pgo.pose_deltas(old_poses)
@@ -303,12 +330,13 @@ class SlamSystem:
             jnp.tile(jnp.array([1.0, 0, 0, 0]), (len(pts_w), 1)),
             jnp.int32(fid), self.travel_dev, jnp.float32(thre))
 
-        # local map mask (reference reset_local_map)
-        local, _sur = npm.compute_local_mask(
+        # local map mask (reference reset_local_map) + surrounding annulus
+        local, sur = npm.compute_local_mask(
             self.m, jnp.asarray(T[:3, 3], jnp.float32), jnp.int32(fid),
             self.travel_dev, jnp.float32(cfg.local_map_radius),
             jnp.float32(thre), cfg.use_mid_ts)
         self.m = self.m.replace(local_mask=local)
+        self._sur_mask = sur
 
         # SDF samples -> replay pool
         origin = T[:3, 3].astype(np.float32)
@@ -316,11 +344,39 @@ class SlamSystem:
                             jnp.asarray(origin), cfg)
         self.pool = rp.pool_insert(self.pool, s, jnp.int32(fid),
                                    self._next_key())
-        # certainty accumulation on endpoints
+        # certainty accumulation on endpoints; the pre-accumulation blended
+        # certainty doubles as the new-observation measure: endpoints whose
+        # neighborhoods the map barely knows are "new" (reference
+        # mapper.py:447-513 computes the same ratio on near-surface samples)
         q = npm.query_feature(self.m, jp, k=cfg.query_nn_k,
                               stencil_r=cfg.num_nei_cells,
                               search_alpha=cfg.search_alpha)
+        if fid > 0:
+            cert_blend = jnp.sum(self.m.certainty[q.nn_idx] * q.weights,
+                                 axis=-1)
+            n_valid = float(jnp.sum(jm))
+            n_new = float(jnp.sum(
+                jm & (cert_blend < cfg.new_certainty_thre)))
+            self.new_obs_ratio = n_new / max(n_valid, 1.0)
         self.m = npm.accumulate_certainty(self.m, q)
+
+    def _adaptive_offset(self, fid: int) -> int:
+        """Iteration offset from the new-observation ratio (reference
+        mapper.py:499-512: -5 when little is new, +5 when a lot is, +10
+        when so much is new that tracking may have been lost)."""
+        cfg = self.cfg
+        if not (cfg.adaptive_iters and cfg.new_obs_ratio_based_iters
+                and fid > 0):
+            return 0
+        r = self.new_obs_ratio
+        if r < cfg.new_sample_ratio_less:
+            return -5
+        if r > cfg.new_sample_ratio_more:
+            if (fid > cfg.freeze_after_frame
+                    and r > cfg.new_sample_ratio_restart):
+                return 10
+            return 5
+        return 0
 
     def _train(self, pre: PreprocessedFrame, fid: int, rep: FrameReport):
         cfg = self.cfg
@@ -330,9 +386,16 @@ class SlamSystem:
         iters = cfg.mapping_iters
         if fid == 0:
             iters = cfg.mapping_iters * cfg.init_iter_ratio
+        else:
+            iters = iters + self._adaptive_offset(fid)
+            if self.stop_status:
+                # stopped robot: train barely (reference pings.py:328-329)
+                iters = max(1, iters - 10)
+        rep.metrics["new_obs_ratio"] = self.new_obs_ratio
+        rep.metrics["sdf_iters"] = max(iters, 0)
         opt, params, state, step = self._sdf
         do_sdf_only = (not cfg.gs_on) or fid == 0 or not pre.cams
-        if do_sdf_only:
+        if do_sdf_only and iters > 0:
             for _ in range(iters):
                 batch = rp.pool_batch(self.pool, self._next_key(), cfg.bs,
                                       min(cfg.bs_new_sample, cfg.bs // 2))
@@ -381,13 +444,35 @@ class SlamSystem:
                     cam, T[:3, 3], fid,
                     T_c_l=np.asarray(cd["T_c_l"], np.float64))
 
-        if cfg.gs_iters <= 0:
+        gs_iters = cfg.gs_iters + self._adaptive_offset(fid)
+        if self.stop_status:
+            gs_iters = max(1, gs_iters - 10)
+        if gs_iters <= 0:
             return
+        rep.metrics["gs_iters"] = gs_iters
         # build steps + params once, then iterate
         met = None
         local_idx = jnp.nonzero(self.m.local_mask, size=self._local_size,
                                 fill_value=self.m.capacity)[0]
-        for it in range(cfg.gs_iters):
+
+        # frozen surrounding-Gaussian background: once the decoders are
+        # frozen, spawn Gaussians for the annulus outside the local map
+        # once per frame and render them as a non-optimizable backdrop
+        # (reference mapper.py:1039-1052, neural_gaussians.py:436-479)
+        surrounding = None
+        if fid >= cfg.freeze_after_frame and self._sur_mask is not None:
+            from pings_tpu.models.spawn import (
+                gather_local_data, spawn_kwargs_from_cfg, spawn_gaussians)
+            sur_local = gather_local_data(self.m, self._sur_mask,
+                                          cfg.max_surrounding_points)
+            sur = spawn_gaussians(
+                sur_local, self.decoders,
+                jnp.asarray(T[:3, 3], jnp.float32),
+                jnp.ones(cfg.max_surrounding_points, bool),
+                **spawn_kwargs_from_cfg(cfg))
+            surrounding = jax.tree.map(jax.lax.stop_gradient, sur)
+
+        for it in range(gs_iters):
             pc = self.campool.sample()
             if pc is None:
                 return
@@ -401,13 +486,26 @@ class SlamSystem:
                                   min(cfg.bs_new_sample, cfg.bs // 2))
             params, state, met = gstep(
                 params, state, self.m, self.decoders, local_idx,
-                cam, jnp.int32(pc.slot), batch, freeze)
+                cam, jnp.int32(pc.slot), batch, freeze,
+                surrounding=surrounding)
             self._gs[1], self._gs[2] = params, state
         if met is not None:
             self._apply_gs_params()
             rep.metrics["gs_psnr"] = float(met.psnr)
             rep.metrics["gs_l1"] = float(met.rgb_l1)
             rep.metrics["sdf_bce"] = float(met.sdf_bce)
+
+        # Gaussian invalidation: stable local points stranded off the SDF
+        # zero level set stop spawning (reference
+        # check_invalid_neural_points, mapper.py:1636-1655; pings.py:350)
+        if cfg.gs_invalid_check_on and met is not None and fid > 0:
+            self.m = field.check_invalid_gs(
+                self.m, self.decoders, local_idx,
+                cfg.logistic_gaussian_ratio * cfg.sigma_sigmoid_m,
+                jnp.float32(1.0),
+                jnp.float32(cfg.dynamic_sdf_ratio_thre * cfg.voxel_size_m),
+                k=cfg.query_nn_k, stencil_r=cfg.num_nei_cells,
+                search_alpha=cfg.search_alpha, min_nn=cfg.query_nn_k)
 
     # -- visualization --------------------------------------------------------
     def make_vis_packet(self, pre: Optional[PreprocessedFrame] = None,
