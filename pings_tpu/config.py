@@ -208,6 +208,8 @@ class Config:
     img_pool_size: int = 10
     long_term_pool_size: int = 40
     train_img_downrate: int = 1
+    long_term_train_down: bool = False  # train long-term pool one pyramid
+                                        # level coarser (ref config.py:254)
     gs_keyframe_interval: int = 1
     sample_latest_prob: float = 0.3
     sample_short_term_prob: float = 0.4

@@ -43,6 +43,7 @@ class PreprocessedFrame:
         self.point_ts: Optional[np.ndarray] = None
         self.source_points: np.ndarray = None  # (S, 3) tracker source
         self.source_mask: np.ndarray = None
+        self.source_intensity: np.ndarray = None  # (S,) [0,1]; -1 = none
         self.cams: Dict[str, dict] = {}
         self.gt_pose: Optional[np.ndarray] = None
         self.raw: dict = None
@@ -82,6 +83,13 @@ def preprocess_frame(frame: dict, cfg, T_rel_last: np.ndarray,
     src_p, src_m = pad_pow2(src, min_size=1024)
     out.source_points = src_p
     out.source_mask = src_m
+    # per-source-point intensity for photometric registration (reference
+    # implicit_color_reg, tracker.py:692-737); -1 = no color measurement
+    src_col = out.colors[src_idx]
+    inten = np.where(np.any(src_col > 0, axis=-1),
+                     src_col.mean(axis=-1), -1.0).astype(np.float32)
+    out.source_intensity, _ = pad_pow2(inten, min_size=1024)
+    out.source_intensity[~src_m] = -1.0
 
     for cam in frame.get("img", {}):
         out.cams[cam] = {

@@ -184,11 +184,17 @@ def eval_heldout(args, cfg, system, out_dir):
                       T_c_w=jnp.asarray(T_c_w, jnp.float32),
                       rgb=jnp.asarray(img), depth=z, sky=z,
                       frame_id=jnp.int32(i))
+        theta = rho = None
+        if cfg.gs_eval_cam_refine_on:
+            theta, rho = refine_view_pose(
+                cfg, local, system.decoders, cam, w, h,
+                iters=cfg.gs_eval_cam_refine_iters)
         res = render(local, system.decoders, cam, w, h,
+                     theta=theta, rho=rho,
                      spawn_kwargs=spawn_kwargs_from_cfg(cfg),
                      max_per_tile=cfg.max_gs_per_tile)
         pred = np.asarray(res.rgb)
-        met = image_metrics(pred, img)
+        met = image_metrics(pred, img, with_lpips=True)
         met["frame"] = i
         met["split"] = "test" if i % args.eval_every == 0 else "train"
         if "depth" in fr:
@@ -210,11 +216,48 @@ def eval_heldout(args, cfg, system, out_dir):
     for split in ("train", "test"):
         sel = [r for r in rows if r["split"] == split]
         if sel:
-            for k in ("psnr", "ssim", "depth_l1"):
+            for k in ("psnr", "ssim", "lpips", "lpips_rand", "depth_l1"):
                 vals = [r[k] for r in sel if k in r]
                 if vals:
                     summary[f"{split}_{k}"] = float(np.mean(vals))
     return summary
+
+
+def refine_view_pose(cfg, local, decoders, cam, w, h, iters=50,
+                     lr=1e-3):
+    """Per-view camera pose refinement before eval (reference
+    gs_eval_offline's cam-refine loop, mapper.py:1774-1860): optimize a
+    (theta, rho) se3 delta on the photometric L1 against the target view.
+    Returns the refined delta to pass into render()."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pings_tpu.models.renderer import render
+    from pings_tpu.models.spawn import spawn_kwargs_from_cfg
+
+    spawn_kwargs = spawn_kwargs_from_cfg(cfg)
+
+    def loss(tr):
+        theta, rho = tr
+        res = render(local, decoders, cam, w, h, theta=theta, rho=rho,
+                     spawn_kwargs=spawn_kwargs,
+                     max_per_tile=cfg.max_gs_per_tile)
+        return jnp.mean(jnp.abs(res.rgb - cam.rgb))
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def step(tr, state):
+        g = jax.grad(loss)(tr)
+        upd, state = opt.update(g, state)
+        return optax.apply_updates(tr, upd), state
+
+    tr = (jnp.zeros(3), jnp.zeros(3))
+    state = opt.init(tr)
+    for _ in range(iters):
+        tr, state = step(tr, state)
+    return tr
 
 
 def export_points(system, mode: str, path: str):

@@ -65,12 +65,15 @@ def gs_param_labels() -> Dict[str, str]:
 
 
 def make_gs_optimizer(cfg) -> optax.GradientTransformation:
+    from pings_tpu.mapping.sdf_mapper import row_masked_adamw
+
     def adamw(lr):
         return optax.adamw(lr, eps=cfg.adam_eps, weight_decay=cfg.weight_decay)
 
     return optax.multi_transform(
         {
-            "feat": adamw(cfg.lr),
+            "feat": row_masked_adamw(cfg.lr, cfg.adam_eps,
+                                     cfg.weight_decay),
             "geo_mlp": adamw(cfg.lr_mlp_base),
             "gs_mlp": adamw(cfg.lr_mlp_base),
             "exposure": adamw(cfg.lr_exposure),
@@ -128,7 +131,7 @@ def make_gsdf_step(cfg, optimizer, width: int, height: int,
                        static_argnames=("train_pose",))
     def step(params, opt_state, static_map, decoders, local_idx, cam,
              cam_slot, sdf_batch, freeze_geo, surrounding=None,
-             train_pose=False):
+             depth_w=1.0, train_pose=False):
 
         def loss_fn(p):
             m, d = apply_gs_params(static_map, decoders, p)
@@ -234,7 +237,7 @@ def make_gsdf_step(cfg, optimizer, width: int, height: int,
 
             total = (
                 photo
-                + cfg.lambda_depth * dl1
+                + depth_w * cfg.lambda_depth * dl1
                 + cfg.lambda_normal_depth_consist * ncons
                 + cfg.lambda_opacity_ent * oent
                 + cfg.lambda_sky * sky_l

@@ -27,13 +27,42 @@ from pings_tpu.models import field
 from pings_tpu.models import neural_points as npm
 
 
+def row_masked_adamw(lr: float, eps: float,
+                     weight_decay: float) -> optax.GradientTransformation:
+    """AdamW whose decoupled weight decay touches only rows with nonzero
+    gradient this step.
+
+    The neural-point feature arrays are dense capacity-padded buffers
+    ((cap+1, F)); each training step's gradient is nonzero only for the
+    queried rows. Plain adamw would decay *every* map feature every
+    iteration — silently eroding geometry far from the sensor. Rows with
+    zero gradient also have zero Adam moments, so with masked decay they
+    are bit-stable across steps (regression-tested)."""
+    adam = optax.adam(lr, eps=eps)
+
+    def init(params):
+        return adam.init(params)
+
+    def update(grads, state, params=None):
+        updates, state = adam.update(grads, state, params)
+        if weight_decay > 0:
+            updates = jax.tree.map(
+                lambda u, g, p: u - lr * weight_decay * p * jnp.any(
+                    g != 0, axis=-1, keepdims=True),
+                updates, grads, params)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_sdf_optimizer(cfg) -> optax.GradientTransformation:
     def adamw(lr):
         return optax.adamw(lr, eps=cfg.adam_eps,
                            weight_decay=cfg.weight_decay)
 
     return optax.multi_transform(
-        {"feat": adamw(cfg.lr), "mlp": adamw(cfg.lr_mlp_base)},
+        {"feat": row_masked_adamw(cfg.lr, cfg.adam_eps, cfg.weight_decay),
+         "mlp": adamw(cfg.lr_mlp_base)},
         param_labels={
             "geo_feat": "feat", "color_feat": "feat",
             "sdf": "mlp", "color": "mlp",

@@ -53,6 +53,26 @@ class ExposureParams(NamedTuple):
     b: jnp.ndarray      # ()
 
 
+def downsample_cam(cam: CamView, level: int) -> CamView:
+    """Image-pyramid level of a CamView (reference CamImage pyramid,
+    cameras.py:86-186): rgb 2x2-box (bilinear-equivalent) downsampling,
+    depth/sky nearest-exact, intrinsics halved per level."""
+    if level <= 0:
+        return cam
+    f = 1 << level
+    h, w = cam.rgb.shape[:2]
+    h2, w2 = h // f, w // f
+    rgb = cam.rgb[:h2 * f, :w2 * f].reshape(h2, f, w2, f, 3).mean((1, 3))
+    depth = cam.depth[::f, ::f][:h2, :w2]
+    sky = cam.sky[::f, ::f][:h2, :w2]
+    s = 1.0 / f
+    # pixel-center convention: c' = (c + 0.5)/f - 0.5
+    K = cam.K.at[0, 0].mul(s).at[1, 1].mul(s)
+    K = K.at[0, 2].set((cam.K[0, 2] + 0.5) * s - 0.5)
+    K = K.at[1, 2].set((cam.K[1, 2] + 0.5) * s - 0.5)
+    return cam._replace(K=K, rgb=rgb, depth=depth, sky=sky)
+
+
 def init_exposure() -> ExposureParams:
     return ExposureParams(jnp.eye(3), jnp.zeros(3), jnp.float32(0.0),
                           jnp.float32(0.0))

@@ -48,10 +48,20 @@ def make_registration_step(cfg):
     min_gn = cfg.reg_min_grad_norm
     max_gn = cfg.reg_max_grad_norm
     max_std = cfg.max_sdf_std_ratio * cfg.voxel_size_m
+    photometric = cfg.photometric_loss_on
+    w_photo = cfg.photometric_loss_weight
+
+    def _intensity(m, decoders, p):
+        """Map intensity (mean RGB) at a single point — differentiable in
+        p for the photometric Jacobian. Returns (value, (value, valid))."""
+        c, v = field.color_at(m, decoders, p[None, :], k, stencil_r, alpha)
+        i = jnp.mean(c[0])
+        return i, (i, v[0])
 
     @jax.jit
     def reg_step(m: npm.NeuralPointMap, decoders, src: jnp.ndarray,
-                 src_mask: jnp.ndarray, T: jnp.ndarray) -> RegStats:
+                 src_mask: jnp.ndarray, src_intensity: jnp.ndarray,
+                 T: jnp.ndarray) -> RegStats:
         x = src @ T[:3, :3].T + T[:3, 3]                 # (S, 3)
         sdf, grad, std, valid = field.sdf_grad_analytical(
             m, decoders, x, sigma_scale, k, stencil_r, alpha)
@@ -78,6 +88,23 @@ def make_registration_step(cfg):
         Jw = J * w[:, None]
         H = J.T @ Jw                                      # (6, 6)
         g = -(Jw.T @ r)                                   # (6,)
+
+        if photometric:
+            # color residual rows (reference implicit_color_reg,
+            # tracker.py:692-737): intensity residual with the map's color
+            # field gradient, same robust weights, added into the same
+            # normal equations scaled by w_photo_loss
+            cgrad, (cpred, cvalid) = jax.vmap(
+                jax.grad(lambda p: _intensity(m, decoders, p),
+                         has_aux=True))(x)
+            has_meas = src_intensity >= 0.0       # -1 marks "no color"
+            r_c = cpred - src_intensity
+            w_c = jnp.where(ok & cvalid & has_meas, w, 0.0)
+            J_c = jnp.concatenate([cgrad, jnp.cross(x, cgrad)], axis=-1)
+            Jw_c = J_c * w_c[:, None]
+            H = H + w_photo * (J_c.T @ Jw_c)
+            g = g - w_photo * (Jw_c.T @ r_c)
+
         wsum = jnp.maximum(jnp.sum(w), 1e-9)
         mean_res = jnp.sum(jnp.abs(r) * w) / wsum
         return RegStats(H, g, mean_res,
@@ -112,11 +139,17 @@ class Tracker:
         source_mask: np.ndarray,       # (S,)
         init_T_w_l: np.ndarray,        # (4, 4) f64 initial guess
         max_iter: Optional[int] = None,
+        source_intensity: Optional[np.ndarray] = None,  # (S,) in [0,1];
+        # -1 (or omitted) = no color measurement for that point
     ) -> TrackResult:
         cfg = self.cfg
         T = np.asarray(init_T_w_l, np.float64).copy()
         src = jnp.asarray(source, jnp.float32)
         msk = jnp.asarray(source_mask)
+        if source_intensity is None:
+            inten = jnp.full((source.shape[0],), -1.0, jnp.float32)
+        else:
+            inten = jnp.asarray(source_intensity, jnp.float32)
         term_rot = np.radians(cfg.reg_term_thre_deg)
         term_tr = cfg.reg_term_thre_m
         lm = cfg.reg_lm_lambda
@@ -128,8 +161,8 @@ class Tracker:
         H_np = None
         it = 0
         for it in range(max_iter):
-            stats = self._reg_step(m, decoders, src,
-                                   msk, jnp.asarray(T, jnp.float32))
+            stats = self._reg_step(m, decoders, src, msk, inten,
+                                   jnp.asarray(T, jnp.float32))
             H_np = np.asarray(stats.H, np.float64)
             g_np = np.asarray(stats.g, np.float64)
             mean_res = float(stats.mean_res)

@@ -88,6 +88,83 @@ def render_sharded(
 
 
 # ---------------------------------------------------------------------------
+# Gaussian-primitive sharding (spawn sharded, blend tile-sharded)
+# ---------------------------------------------------------------------------
+
+def render_gauss_sharded(
+    mesh: Mesh,
+    local,                       # LocalPointData, point axis shardable
+    decoders,
+    cam: CamView,
+    width: int, height: int,
+    bg=None, spawn_kwargs=None,
+    tile: int = 16, max_span: int = 36, max_per_tile: int = 512,
+    chunk: int = 32,
+):
+    """Gaussian-primitive-sharded rendering (BASELINE.json north star:
+    "Gaussian-primitive sharding with per-tile all-gather of visible
+    points").
+
+    Layout: the neural-point buffer (and so the spawned Gaussians — the
+    FLOP-heavy 5-head MLP decode) is sharded over the mesh; each device
+    spawns only its shard, then the projected Gaussian attributes are
+    ``all_gather``ed (14 floats/Gaussian — orders of magnitude smaller
+    than per-tile tables) and every device bins + alpha-blends only its
+    slice of the image tiles. Compositing is per-pixel, so no cross-device
+    blend pass is needed. Collectives ride ICI inside a slice; the same
+    code spans hosts over DCN.
+    """
+    from pings_tpu.models.spawn import spawn_gaussians
+
+    if bg is None:
+        bg = jnp.zeros(3)
+    spawn_kwargs = spawn_kwargs or {}
+    naxis = mesh.axis_names[0]
+    nd = mesh.devices.size
+    L = local.positions.shape[0]
+    assert L % nd == 0, "local point count must divide the mesh"
+
+    T_c_w = cam.T_c_w
+    cam_origin = -T_c_w[:3, :3].T @ T_c_w[:3, 3]
+
+    def shard_fn(local_shard):
+        visible = rz.mark_visible(local_shard.positions, T_c_w, cam.K,
+                                  width, height)
+        g = spawn_gaussians(local_shard, decoders, cam_origin, visible,
+                            **spawn_kwargs)
+        # per-device projection of the local spawn, then all-gather the
+        # *projected* attributes (compact: 14 f32 per gaussian)
+        p = rz.project_gaussians(g.means, g.quats, g.scales, g.alphas,
+                                 g.colors, g.valid, T_c_w, cam.K,
+                                 width, height)
+        p_all = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, naxis, axis=0, tiled=True), p)
+        return p_all
+
+    in_spec = jax.tree.map(lambda _: P(naxis), local)
+    p_full = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(in_spec,), out_specs=P(),
+        check_vma=False)(local)
+
+    # bin once (replicated — cheap), blend with the tile axis sharded
+    # (falls back to replicated blending when the tile count does not
+    # divide the mesh — tiny images only)
+    p_struct = jax.tree.map(jax.lax.stop_gradient, p_full)
+    bins = rz.bin_gaussians(p_struct, width, height, tile=tile,
+                            max_span=max_span, max_per_tile=max_per_tile)
+    n_tiles = bins.rank_tbl.shape[0]
+    tile_shard = NamedSharding(mesh, P(naxis))
+    repl = NamedSharding(mesh, P())
+    if n_tiles % nd == 0:
+        bins = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, tile_shard if x.ndim >= 1 and x.shape[0] == n_tiles
+                else repl), bins)
+    return rz.blend_tiles(p_full, bins, bg, width, height, tile=tile,
+                          chunk=chunk)
+
+
+# ---------------------------------------------------------------------------
 # Data-parallel joint training step (cameras sharded)
 # ---------------------------------------------------------------------------
 

@@ -162,7 +162,9 @@ class SlamSystem:
             if cfg.track_on:
                 res = self.tracker.track(
                     self.m, self.decoders, pre.source_points,
-                    pre.source_mask, T_guess)
+                    pre.source_mask, T_guess,
+                    source_intensity=pre.source_intensity
+                    if cfg.photometric_loss_on else None)
                 rep.tracking_valid = res.valid and not res.degenerate
                 T = res.T_w_l if rep.tracking_valid else T_guess
                 rep.metrics["track_res_m"] = res.mean_res
@@ -472,11 +474,23 @@ class SlamSystem:
                 **spawn_kwargs_from_cfg(cfg))
             surrounding = jax.tree.map(jax.lax.stop_gradient, sur)
 
+        # coarse-to-fine: short-term keyframes train at the configured
+        # pyramid level, long-term pool one level coarser with the depth
+        # term re-weighted 4x per extra level (reference
+        # cameras.py:86-186 pyramid + mapper.py:1061-1104, 1268)
+        from pings_tpu.models.renderer import downsample_cam
+        base_level = max(int(self.cfg.train_img_downrate).bit_length() - 1,
+                         0)
         for it in range(gs_iters):
             pc = self.campool.sample()
             if pc is None:
                 return
-            cam = pc.cam
+            level = base_level
+            depth_w = 1.0
+            if cfg.long_term_train_down and pc in self.campool.long:
+                level += 1
+                depth_w = 4.0
+            cam = downsample_cam(pc.cam, level)
             h, w = cam.rgb.shape[:2]
             gstep = self._ensure_gs(w, h)
             if it == 0:
@@ -487,7 +501,7 @@ class SlamSystem:
             params, state, met = gstep(
                 params, state, self.m, self.decoders, local_idx,
                 cam, jnp.int32(pc.slot), batch, freeze,
-                surrounding=surrounding)
+                surrounding=surrounding, depth_w=jnp.float32(depth_w))
             self._gs[1], self._gs[2] = params, state
         if met is not None:
             self._apply_gs_params()

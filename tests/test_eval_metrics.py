@@ -1,0 +1,96 @@
+"""LPIPS metric and per-view camera refinement."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pings_tpu.eval.lpips import lpips
+from pings_tpu.eval.image import image_metrics
+
+
+def test_lpips_basic_ordering(rng):
+    img = rng.random((64, 64, 3)).astype(np.float32)
+    v0, calibrated = lpips(img, img)
+    assert v0 < 1e-6
+    # structural destruction must cost far more than mild noise
+    noisy = np.clip(img + 0.02 * rng.normal(size=img.shape), 0, 1).astype(
+        np.float32)
+    shuffled = img.reshape(-1, 3)[rng.permutation(64 * 64)].reshape(
+        64, 64, 3)
+    v_noise, _ = lpips(img, noisy)
+    v_shuf, _ = lpips(img, shuffled)
+    assert 0 < v_noise < v_shuf, (v_noise, v_shuf)
+    # without shipped weights the metric self-identifies as uncalibrated
+    assert calibrated is False
+
+
+def test_lpips_in_image_metrics(rng):
+    a = rng.random((32, 32, 3)).astype(np.float32)
+    b = rng.random((32, 32, 3)).astype(np.float32)
+    met = image_metrics(a, b, with_lpips=True)
+    key = "lpips" if "lpips" in met else "lpips_rand"
+    assert np.isfinite(met[key]) and met[key] > 0
+
+
+@pytest.mark.slow
+def test_cam_refine_recovers_pose_offset(rng):
+    """Perturb the eval camera; refinement must improve photometric L1
+    (reference gs_eval cam-refine loop, mapper.py:1774-1860)."""
+    import jax
+    from pings_tpu.inspect_map import refine_view_pose
+    from pings_tpu.models.renderer import render
+    from tests.test_mapper_fidelity import small_cfg, _trained_sphere_map
+    from tests.test_gs_mapping import raycast_target, H, W, KMAT
+    from pings_tpu.models.spawn import gather_local_data, spawn_kwargs_from_cfg
+    from pings_tpu.models.renderer import CamView
+
+    cfg = small_cfg(gs_eval_cam_refine_on=True, gs_eval_cam_refine_iters=25)
+    m, decoders, pool, origin = _trained_sphere_map(cfg, rng, iters=80)
+    rgb_t, depth_t, hit, _, _ = raycast_target()
+    local = gather_local_data(m, m.valid_mask, 1024)
+
+    # ground-truth view is identity; camera believed at a small offset
+    T_pert = np.eye(4, dtype=np.float32)
+    T_pert[0, 3] = 0.05  # 5 cm lateral error
+    cam = CamView(K=jnp.asarray(KMAT), T_c_w=jnp.asarray(T_pert),
+                  rgb=jnp.asarray(rgb_t), depth=jnp.asarray(depth_t),
+                  sky=jnp.zeros((H, W)), frame_id=jnp.int32(0))
+    sk = spawn_kwargs_from_cfg(cfg)
+
+    res0 = render(local, decoders, cam, W, H, spawn_kwargs=sk,
+                  max_per_tile=cfg.max_gs_per_tile)
+    l0 = float(jnp.mean(jnp.abs(res0.rgb - cam.rgb)))
+    theta, rho = refine_view_pose(cfg, local, decoders, cam, W, H,
+                                  iters=cfg.gs_eval_cam_refine_iters,
+                                  lr=3e-3)
+    res1 = render(local, decoders, cam, W, H, theta=theta, rho=rho,
+                  spawn_kwargs=sk, max_per_tile=cfg.max_gs_per_tile)
+    l1 = float(jnp.mean(jnp.abs(res1.rgb - cam.rgb)))
+    assert l1 < 0.9 * l0, (l0, l1)
+
+
+def test_downsample_cam_pyramid():
+    """Pyramid level halves resolution and rescales intrinsics
+    (reference CamImage pyramid, cameras.py:86-186)."""
+    from pings_tpu.models.renderer import CamView, downsample_cam
+    rng = np.random.default_rng(0)
+    H, W = 48, 64
+    cam = CamView(
+        K=jnp.array([[60.0, 0, 31.5], [0, 60.0, 23.5], [0, 0, 1.0]]),
+        T_c_w=jnp.eye(4),
+        rgb=jnp.asarray(rng.random((H, W, 3)), jnp.float32),
+        depth=jnp.asarray(rng.random((H, W)), jnp.float32),
+        sky=jnp.zeros((H, W)), frame_id=jnp.int32(0))
+    c1 = downsample_cam(cam, 1)
+    assert c1.rgb.shape == (24, 32, 3)
+    assert c1.depth.shape == (24, 32)
+    np.testing.assert_allclose(float(c1.K[0, 0]), 30.0)
+    # pixel-center convention: c' = (c + 0.5)/2 - 0.5
+    np.testing.assert_allclose(float(c1.K[0, 2]), (31.5 + 0.5) / 2 - 0.5)
+    # 2x2 box average of the corner
+    np.testing.assert_allclose(
+        np.asarray(c1.rgb[0, 0]), np.asarray(cam.rgb[:2, :2].mean((0, 1))),
+        rtol=1e-6)
+    # level 0 is the identity
+    c0 = downsample_cam(cam, 0)
+    assert c0 is cam

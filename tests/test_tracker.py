@@ -60,3 +60,49 @@ class TestTracker:
         src = rng.normal(size=(500, 3)).astype(np.float32) + 100.0
         res = tracker.track(m, d, src, np.ones(500, bool), np.eye(4))
         assert not res.valid
+
+
+@pytest.mark.slow
+def test_photometric_tracking_breaks_rotational_degeneracy(rng):
+    """A sphere is SDF-invariant under rotation about the axis through the
+    sensor and its center: geometry-only registration cannot recover a
+    rotation offset about that axis, the photometric color rows can
+    (reference implicit_color_reg, tracker.py:692-737)."""
+    from tests.test_mapper_fidelity import small_cfg, _trained_sphere_map
+    from pings_tpu.odometry.tracker import Tracker
+    from pings_tpu.utils import pose as hp
+
+    cfg_geo = small_cfg(photometric_loss_on=False, eigenvalue_check=False,
+                        reg_iter_n=30)
+    cfg_photo = small_cfg(photometric_loss_on=True,
+                          photometric_loss_weight=1.0,
+                          eigenvalue_check=False, reg_iter_n=30)
+    m, decoders, _, origin = _trained_sphere_map(cfg_geo, rng, iters=150)
+
+    # source scan: sphere-surface points in the sensor frame (identity pose)
+    from tests.test_gs_mapping import raycast_target, sphere_color, CENTER
+    _, _, _, pts_w, _ = raycast_target()
+    sub = rng.choice(len(pts_w), size=1024, replace=False)
+    src = pts_w[sub]
+    inten = sphere_color(src).mean(-1).astype(np.float32)
+
+    # initial guess: rotated about the z axis (through origin and sphere
+    # center) by 8 degrees -- geometrically unobservable
+    ang = np.deg2rad(8.0)
+    T0 = np.eye(4)
+    T0[:3, :3] = hp.so3_exp(np.array([0.0, 0.0, ang]))
+
+    def rot_err_deg(T):
+        return np.degrees(np.arccos(np.clip(
+            (np.trace(T[:3, :3]) - 1) / 2, -1, 1)))
+
+    res_g = Tracker(cfg_geo).track(
+        m, decoders, src, np.ones(len(src), bool), T0)
+    res_p = Tracker(cfg_photo).track(
+        m, decoders, src, np.ones(len(src), bool), T0,
+        source_intensity=inten)
+    e_g = rot_err_deg(res_g.T_w_l)
+    e_p = rot_err_deg(res_p.T_w_l)
+    # geometry-only stays stuck near 8 deg; photometric recovers most of it
+    assert e_g > 4.0, e_g
+    assert e_p < 0.6 * e_g, (e_g, e_p)
