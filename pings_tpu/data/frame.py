@@ -41,6 +41,7 @@ class PreprocessedFrame:
         self.colors: np.ndarray = None         # (P, 3)
         self.mask: np.ndarray = None           # (P,)
         self.point_ts: Optional[np.ndarray] = None
+        self.sem: Optional[np.ndarray] = None  # (P,) i32 class ids; -1 = none
         self.source_points: np.ndarray = None  # (S, 3) tracker source
         self.source_mask: np.ndarray = None
         self.source_intensity: np.ndarray = None  # (S,) [0,1]; -1 = none
@@ -75,6 +76,10 @@ def preprocess_frame(frame: dict, cfg, T_rel_last: np.ndarray,
     out.colors = colors_p
     out.mask = np.asarray(keep_map)
     out.point_ts = ts
+    sem = frame.get("sem")
+    if sem is not None and len(sem):
+        sem_p, _ = pad_pow2(np.asarray(sem, np.int32).reshape(-1))
+        out.sem = sem_p.astype(np.int32)
 
     src_idx = np.nonzero(np.asarray(keep_src))[0]
     if len(src_idx) > cfg.source_max_count:

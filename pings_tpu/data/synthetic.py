@@ -55,6 +55,30 @@ def _ray_scene(origins: np.ndarray, dirs: np.ndarray, objects):
             ok = (tmax > tmin) & (tmin > 0.05)
             t = tmin
             c = np.tile(obj["color"], (n, 1))
+        elif kind == "box_inner":
+            # inside-out AABB: the room shell. Hit = exit point (tmax);
+            # walls get a 1 m checker so photometric training has texture.
+            lo = obj["min"][None]
+            hi = obj["max"][None]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                inv = 1.0 / dirs
+            t0 = (lo - origins) * inv
+            t1 = (hi - origins) * inv
+            tmax = np.maximum(t0, t1).min(axis=1)
+            ok = tmax > 0.05
+            t = tmax
+            p = origins + dirs * t[:, None]
+            checker = ((np.floor(p[:, 0]) + np.floor(p[:, 1])
+                        + np.floor(p[:, 2])) % 2).astype(bool)
+            c = np.where(checker[:, None], obj["color1"], obj["color2"])
+            # tint each wall pair differently so the room is not ambiguous
+            axis = np.argmin(np.stack([
+                np.minimum(np.abs(p[:, i] - lo[0, i]),
+                           np.abs(p[:, i] - hi[0, i])) for i in range(3)
+            ], 1), axis=1)
+            tintmap = np.array([[1.0, 0.85, 0.8], [0.8, 1.0, 0.85],
+                                [0.85, 0.8, 1.0]], np.float32)
+            c = c * tintmap[axis]
         else:
             continue
         better = ok & (t < t_best)

@@ -176,6 +176,19 @@ def make_gsdf_step(cfg, optimizer, width: int, height: int,
             nmask = d2n_valid & (res.alpha > 0.5)
             ncons = losses.normal_consistency_loss(res.normal, d2n, nmask)
 
+            # prior-normal supervision (reference mono_normal loss,
+            # mapper.py:1302-1309, fed by Metric3D's normal head): here the
+            # prior normal is derived from the camera's prior depth map
+            # (mono-aligned dense depth or LiDAR splat; sparse maps simply
+            # mask out) via the same D2N operator
+            if cfg.lambda_mono_normal > 0:
+                pn, pn_valid = depth_to_normal(cam.depth, cam.K)
+                mn_mask = pn_valid & (cam.depth > 1e-4) & (res.alpha > 0.5)
+                mono_n = losses.normal_consistency_loss(
+                    res.normal, pn, mn_mask)
+            else:
+                mono_n = jnp.float32(0.0)
+
             # opacity entropy + sky (mapper.py:1297-1351)
             oent = losses.opacity_entropy_loss(res.alpha)
             sky_l = jax.lax.cond(
@@ -209,7 +222,7 @@ def make_gsdf_step(cfg, optimizer, width: int, height: int,
             gs_nrm = jnp.sum(align * v_cf) / jnp.maximum(jnp.sum(v_cf), 1.0)
 
             # concurrent SDF batch (mapper.py:1493-1544)
-            pts_b, sdf_lab, col_lab, w_b, valid_b = sdf_batch
+            pts_b, sdf_lab, col_lab, w_b, valid_b = sdf_batch[:5]
             sdf_p, _, qv = field.sdf_at(m, d, pts_b, sigma_scale, k,
                                         stencil_r, alpha_s)
             vb = (valid_b & qv).astype(jnp.float32)
@@ -239,6 +252,7 @@ def make_gsdf_step(cfg, optimizer, width: int, height: int,
                 photo
                 + depth_w * cfg.lambda_depth * dl1
                 + cfg.lambda_normal_depth_consist * ncons
+                + cfg.lambda_mono_normal * mono_n
                 + cfg.lambda_opacity_ent * oent
                 + cfg.lambda_sky * sky_l
                 + cfg.lambda_gs_sdf_consist * gs_sdf

@@ -29,6 +29,7 @@ class ReplayPool:
     points: jnp.ndarray       # (P, 3)
     sdf_label: jnp.ndarray    # (P,)
     color_label: jnp.ndarray  # (P, 3)
+    sem_label: jnp.ndarray    # (P,) i32; -1 = unlabeled
     weight: jnp.ndarray       # (P,)
     is_free: jnp.ndarray      # (P,) bool
     ts: jnp.ndarray           # (P,) i32
@@ -46,6 +47,7 @@ def init_pool(capacity: int) -> ReplayPool:
         points=jnp.zeros((capacity, 3)),
         sdf_label=jnp.zeros((capacity,)),
         color_label=jnp.zeros((capacity, 3)),
+        sem_label=jnp.full((capacity,), -1, jnp.int32),
         weight=jnp.zeros((capacity,)),
         is_free=jnp.zeros((capacity,), bool),
         ts=jnp.zeros((capacity,), jnp.int32),
@@ -80,13 +82,14 @@ def pool_insert(
     pts = pool.points.at[dest].set(s.points, mode="drop")
     sdf = pool.sdf_label.at[dest].set(s.sdf_label, mode="drop")
     col = pool.color_label.at[dest].set(s.color_label, mode="drop")
+    sem = pool.sem_label.at[dest].set(s.sem_label, mode="drop")
     w = pool.weight.at[dest].set(s.weight, mode="drop")
     fr = pool.is_free.at[dest].set(s.is_free, mode="drop")
     ts = pool.ts.at[dest].set(cur_ts, mode="drop")
     new_count = jnp.minimum(n_valid, tail_room)
     return pool.replace(
-        points=pts, sdf_label=sdf, color_label=col, weight=w, is_free=fr,
-        ts=ts,
+        points=pts, sdf_label=sdf, color_label=col, sem_label=sem, weight=w,
+        is_free=fr, ts=ts,
         count=jnp.minimum(pool.count + n_valid, P),
         new_begin=pool.count,
         new_count=jnp.maximum(new_count, jnp.int32(0)),
@@ -96,11 +99,12 @@ def pool_insert(
 @functools.partial(jax.jit, static_argnames=("bs", "bs_new"))
 def pool_batch(
     pool: ReplayPool, key: jax.Array, bs: int, bs_new: int
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
+           jnp.ndarray]:
     """Sample a training batch: bs_new fresh-frame samples + (bs - bs_new)
     uniform history (reference get_batch, mapper.py:704-771).
 
-    Returns (points, sdf_label, color_label, weight, valid)."""
+    Returns (points, sdf_label, color_label, weight, valid, sem_label)."""
     k1, k2 = jax.random.split(key)
     hist = jax.random.randint(k1, (bs - bs_new,), 0,
                               jnp.maximum(pool.count, 1))
@@ -112,5 +116,5 @@ def pool_batch(
     valid = valid & (pool.count > 0)
     return (
         pool.points[idx], pool.sdf_label[idx], pool.color_label[idx],
-        pool.weight[idx], valid,
+        pool.weight[idx], valid, pool.sem_label[idx],
     )

@@ -28,10 +28,12 @@ import jax
 import jax.numpy as jnp
 
 
-def sample_rays_cfg(key, endpoints, colors, mask, sensor_origin, cfg):
+def sample_rays_cfg(key, endpoints, colors, mask, sensor_origin, cfg,
+                    sem_labels=None):
     """sample_rays with all scales taken from the config."""
     return sample_rays(
         key, endpoints, colors, mask, sensor_origin,
+        sem_labels=sem_labels,
         surface_sample_range_m=cfg.surface_sample_range_m,
         surface_sample_n=cfg.surface_sample_n,
         free_sample_begin_ratio=cfg.free_sample_begin_ratio,
@@ -50,6 +52,7 @@ class SdfSamples(NamedTuple):
     sdf_label: jnp.ndarray  # (M,) signed projective distance (m)
     normal_label: jnp.ndarray  # (M, 3) per-sample ray direction (unit, sensor->point)
     color_label: jnp.ndarray   # (M, 3)
+    sem_label: jnp.ndarray  # (M,) i32 class id; -1 = unlabeled (masked out)
     weight: jnp.ndarray     # (M,) loss weight
     is_free: jnp.ndarray    # (M,) True for freespace (non-surface) samples
     valid: jnp.ndarray      # (M,)
@@ -70,6 +73,7 @@ def sample_rays(
     colors: jnp.ndarray,         # (N, 3)
     mask: jnp.ndarray,           # (N,)
     sensor_origin: jnp.ndarray,  # (3,) world frame
+    sem_labels: jnp.ndarray | None = None,  # (N,) i32; -1 = unlabeled
     surface_sample_range_m: float = 0.25,
     surface_sample_n: int = 3,
     free_sample_begin_ratio: float = 0.3,
@@ -146,11 +150,19 @@ def sample_rays(
     flat = lambda x: x.reshape((n * S,) + x.shape[2:])
     colors_rep = jnp.broadcast_to(colors[:, None, :], (n, S, 3))
     raydir_rep = jnp.broadcast_to(raydir[:, None, :], (n, S, 3))
+    # semantic labels: surface samples inherit the ray endpoint's class,
+    # freespace samples get 0 ("free" class, reference data_sampler.py
+    # sem_label_tensor handling); unlabeled rays stay -1 everywhere.
+    if sem_labels is None:
+        sem_labels = jnp.full((n,), -1, jnp.int32)
+    sem_rep = jnp.where(is_free, jnp.where(sem_labels[:, None] >= 0, 0, -1),
+                        sem_labels[:, None].astype(jnp.int32))
     return SdfSamples(
         points=flat(pts),
         sdf_label=flat(label),
         normal_label=flat(raydir_rep),
         color_label=flat(colors_rep),
+        sem_label=flat(sem_rep),
         weight=flat(w),
         is_free=flat(is_free),
         valid=flat(valid),

@@ -60,29 +60,36 @@ def make_sdf_optimizer(cfg) -> optax.GradientTransformation:
         return optax.adamw(lr, eps=cfg.adam_eps,
                            weight_decay=cfg.weight_decay)
 
+    labels = {"geo_feat": "feat", "color_feat": "feat",
+              "sdf": "mlp", "color": "mlp"}
+    if cfg.semantic_on:
+        labels["sem"] = "mlp"
     return optax.multi_transform(
         {"feat": row_masked_adamw(cfg.lr, cfg.adam_eps, cfg.weight_decay),
          "mlp": adamw(cfg.lr_mlp_base)},
-        param_labels={
-            "geo_feat": "feat", "color_feat": "feat",
-            "sdf": "mlp", "color": "mlp",
-        },
+        param_labels=labels,
     )
 
 
-def sdf_params(m: npm.NeuralPointMap, decoders) -> Dict:
-    return {
+def sdf_params(m: npm.NeuralPointMap, decoders,
+               semantic_on: bool = False) -> Dict:
+    p = {
         "geo_feat": m.geo_feat,
         "color_feat": m.color_feat,
         "sdf": decoders["sdf"],
         "color": decoders["color"],
     }
+    if semantic_on:
+        p["sem"] = decoders["sem"]
+    return p
 
 
 def apply_sdf_params(m, decoders, params) -> Tuple[npm.NeuralPointMap, Dict]:
     m = m.replace(geo_feat=params["geo_feat"],
                   color_feat=params["color_feat"])
     decoders = {**decoders, "sdf": params["sdf"], "color": params["color"]}
+    if "sem" in params:
+        decoders["sem"] = params["sem"]
     return m, decoders
 
 
@@ -91,6 +98,7 @@ class SdfStepMetrics(NamedTuple):
     bce: jnp.ndarray
     eikonal: jnp.ndarray
     color: jnp.ndarray
+    sem: jnp.ndarray
 
 
 def make_sdf_step(cfg, optimizer: optax.GradientTransformation):
@@ -111,12 +119,15 @@ def make_sdf_step(cfg, optimizer: optax.GradientTransformation):
     eik_n = max(cfg.bs // max(cfg.gradient_decimation, 1), 8)
     grad_delta = cfg.voxel_size_m * cfg.num_grad_step_ratio
     color_on = cfg.color_on
+    sem_on = cfg.semantic_on
     weight_e = cfg.weight_e
     weight_c = cfg.weight_c
+    weight_s = cfg.weight_s
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, static_map, decoders, freeze):
-        pts, sdf_label, color_label, weight, valid = batch
+        pts, sdf_label, color_label, weight, valid, sem_label = (
+            batch if len(batch) == 6 else (*batch, None))
 
         def loss_fn(p):
             m, d = apply_sdf_params(static_map, decoders, p)
@@ -139,14 +150,27 @@ def make_sdf_step(cfg, optimizer: optax.GradientTransformation):
             else:
                 closs = jnp.float32(0.0)
 
-            total = bce + weight_e * eik + weight_c * closs
-            return total, SdfStepMetrics(total, bce, eik, closs)
+            if sem_on and sem_label is not None:
+                # NLL on labeled near-surface samples (reference
+                # sdf_mapping's sem loss, utils/mapper.py:906-916: loss_nll
+                # over surface samples with weight_s)
+                log_prob, svalid = field.sem_at(m, d, pts, k, stencil_r,
+                                                alpha)
+                smask = v * svalid * (sem_label >= 0) * (
+                    jnp.abs(sdf_label) < 2.0 * sigma)
+                sloss = losses.sem_nll_loss(
+                    log_prob, jnp.maximum(sem_label, 0), smask)
+            else:
+                sloss = jnp.float32(0.0)
+
+            total = bce + weight_e * eik + weight_c * closs + weight_s * sloss
+            return total, SdfStepMetrics(total, bce, eik, closs, sloss)
 
         grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
         zero_mlp = lambda g: jax.tree.map(
             lambda x: jnp.where(freeze, jnp.zeros_like(x), x), g)
-        grads = {**grads, "sdf": zero_mlp(grads["sdf"]),
-                 "color": zero_mlp(grads["color"])}
+        grads = {**grads, **{name: zero_mlp(grads[name]) for name in
+                             ("sdf", "color", "sem") if name in grads}}
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
@@ -156,5 +180,5 @@ def make_sdf_step(cfg, optimizer: optax.GradientTransformation):
 
 def init_sdf_train(m: npm.NeuralPointMap, decoders, cfg):
     opt = make_sdf_optimizer(cfg)
-    params = sdf_params(m, decoders)
+    params = sdf_params(m, decoders, cfg.semantic_on)
     return opt, params, opt.init(params)

@@ -26,10 +26,11 @@ Dataflow (one custom_vjp over the whole pack+blend stage):
   the Pallas kernel maps it to (T, 16, P) blended channels + (T, 1, P)
   final transmittance.
 - backward: the Pallas kernel re-blends front-to-back emitting per-slot
-  gradients (T, Kmax, 16); one XLA scatter-add onto bins.gauss_idx
+  gradients (T, Kmax, 16); one XLA scatter-add onto bins.gauss_tbl
   aggregates them per gaussian. (Measured on a v5e chip: the scatter-add
-  costs ~33 ms at 1.8M slots, vs ~240 ms for the gather-based
-  inverse-location scheme and ~70 ms of extra sorts it needed.)
+  costs ~33 ms at 1.8M slots / ~10 ms at 460k, vs ~240 ms for the
+  gather-based inverse-location scheme, ~102 ms for a collision-free
+  scatter-SET over pair ids, and ~70 ms of extra sorts either needed.)
   rho = sum_c g_c out_c comes free from the saved forward outputs.
 Background compositing and depth normalization stay in XLA (autodiffed).
 
@@ -86,27 +87,26 @@ def gauss_attr_matrix(p: ProjectedGaussians) -> jnp.ndarray:
 
 def _pack_table(attr16: jnp.ndarray, bins: TileBins) -> jnp.ndarray:
     """Gather (N, 16) -> (T, Kmax, 16); masked slots zeroed (their
-    opacity column 13 = 0 makes them blend no-ops). Works in depth-rank
-    space: one (n,16) row permutation + the unavoidable per-slot row
-    gather — never materializing bins.gauss_idx."""
+    opacity column 13 = 0 makes them blend no-ops). One per-slot row
+    gather straight off the gaussian-id table."""
     n = attr16.shape[0]
-    attr_by_rank = attr16[bins.perm]                      # (N, 16)
-    tbl = attr_by_rank[jnp.minimum(bins.rank_tbl, n - 1)]  # (T, Kmax, 16)
+    tbl = attr16[jnp.minimum(bins.gauss_tbl, n - 1)]      # (T, Kmax, 16)
     return jnp.where(bins.mask[..., None], tbl, 0.0)
 
 
 def _unpack_grads(dtable: jnp.ndarray, bins: TileBins,
                   n: int) -> jnp.ndarray:
     """Aggregate per-slot grads (T, Kmax, 16) -> (N, 16) by scatter-add
-    in rank space, then one cheap (n,) permutation back to id order.
+    on the gaussian-id table.
 
     Masked slots carry exactly-zero gradients (their opacity is 0 so
     alpha == 0 and the kernel's active mask kills every term), so no
-    mask filter is needed before the add."""
+    mask filter is needed before the add. (A collision-free scatter-SET
+    via per-slot pair ids measured 102 ms vs this path's ~10 ms at 460k
+    slots on v5e — unique indices do not help XLA TPU scatters.)"""
     flat = dtable.reshape(-1, NCH)
-    idx = jnp.minimum(bins.rank_tbl.reshape(-1), n - 1)
-    d_rank = jnp.zeros((n, NCH), dtable.dtype).at[idx].add(flat)
-    return d_rank[bins.rank]
+    idx = jnp.minimum(bins.gauss_tbl.reshape(-1), n - 1)
+    return jnp.zeros((n, NCH), dtable.dtype).at[idx].add(flat)
 
 
 def _pixel_grid(t, ntx: int, tile: int):
@@ -130,9 +130,9 @@ def _tri(strict: bool, sb: int) -> jnp.ndarray:
     return ((r > c) if strict else (r >= c)).astype(jnp.bfloat16)
 
 
-def _superblock(kmax: int) -> int:
-    """Largest power-of-two block <= SUPER dividing kmax."""
-    sb = min(SUPER, kmax)
+def _superblock(kmax: int, sup: int = SUPER) -> int:
+    """Largest power-of-two block <= sup dividing kmax."""
+    sb = min(sup, kmax)
     while kmax % sb:
         sb //= 2
     assert sb >= 8, f"max_per_tile={kmax} must be divisible by a block >= 8"
@@ -193,39 +193,44 @@ def _super_alpha(chunk, px, py):
 
 
 def _fwd_kernel(counts_ref, attrs_ref, out_ref, trans_ref, *, ntx: int,
-                tile: int, kmax: int):
+                tile: int, kmax: int, sup: int, gtiles: int):
+    """Blend ``gtiles`` tiles per grid step: each grid step costs a fixed
+    ~2 us of pipeline overhead on v5e (3600 single-tile steps = ~7 ms of
+    pure dispatch), so tiles are batched per step and unrolled."""
     P = tile * tile
-    sb = _superblock(kmax)
-    t = pl.program_id(0)
-    px, py = _pixel_grid(t, ntx, tile)
+    sb = _superblock(kmax, sup)
     tri_s = _tri(True, sb)
-    cnt = counts_ref[t]
 
-    def super_body(j, carry):
-        acc, trans = carry
-        k0 = pl.multiple_of(j * sb, sb)
+    for g in range(gtiles):
+        t = pl.program_id(0) * gtiles + g
+        px, py = _pixel_grid(t, ntx, tile)
+        cnt = counts_ref[t]
 
-        def compute(_):
-            chunk = attrs_ref[0, pl.ds(k0, sb), :]          # (sb, 16)
-            alpha, _, _, _, _ = _super_alpha(chunk, px, py)
-            one_m = 1.0 - alpha
-            excl = _excl_prod(one_m, tri_s)                 # (sb, P)
-            w = alpha * excl * trans                        # blend weights
-            # acc (16, P) += chunk^T @ w on the MXU
-            acc2 = acc + _split_dot(chunk, w, ((0,), (0,)))
-            trans2 = trans * (excl[sb - 1:sb, :]
-                              * one_m[sb - 1:sb, :])
-            return acc2, trans2
+        def super_body(j, carry, px=px, py=py, cnt=cnt, g=g):
+            acc, trans = carry
+            k0 = pl.multiple_of(j * sb, sb)
 
-        live = (jnp.max(trans) > TRANS_EPS) & (j * sb < cnt)
-        return jax.lax.cond(live, compute, lambda _: carry, None)
+            def compute(_):
+                chunk = attrs_ref[g, pl.ds(k0, sb), :]      # (sb, 16)
+                alpha, _, _, _, _ = _super_alpha(chunk, px, py)
+                one_m = 1.0 - alpha
+                excl = _excl_prod(one_m, tri_s)             # (sb, P)
+                w = alpha * excl * trans                    # blend weights
+                # acc (16, P) += chunk^T @ w on the MXU
+                acc2 = acc + _split_dot(chunk, w, ((0,), (0,)))
+                trans2 = trans * (excl[sb - 1:sb, :]
+                                  * one_m[sb - 1:sb, :])
+                return acc2, trans2
 
-    acc0 = jnp.zeros((NCH, P), jnp.float32)
-    trans0 = jnp.ones((1, P), jnp.float32)
-    acc, trans = jax.lax.fori_loop(0, kmax // sb, super_body,
-                                   (acc0, trans0))
-    out_ref[0] = acc
-    trans_ref[0] = trans
+            live = (jnp.max(trans) > TRANS_EPS) & (j * sb < cnt)
+            return jax.lax.cond(live, compute, lambda _: carry, None)
+
+        acc0 = jnp.zeros((NCH, P), jnp.float32)
+        trans0 = jnp.ones((1, P), jnp.float32)
+        acc, trans = jax.lax.fori_loop(0, kmax // sb, super_body,
+                                       (acc0, trans0))
+        out_ref[g] = acc
+        trans_ref[g] = trans
 
 
 def _lane_onehot(c: int):
@@ -234,32 +239,46 @@ def _lane_onehot(c: int):
 
 
 def _bwd_kernel(counts_ref, attrs_ref, gout_ref, gtrans_ref, rho_ref,
-                transf_ref, dattrs_ref, *, ntx: int, tile: int, kmax: int):
+                transf_ref, dattrs_ref, *, ntx: int, tile: int, kmax: int,
+                sup: int, gtiles: int):
     """Analytic backward, single front-to-back pass with the suffix
     identity
         dL/da_i(p) = T_i phi_i - (rho - sigma_i) / (1 - a_i)
                      - g_trans trans_final / (1 - a_i)
     where phi_i = sum_c g_c attr_c_i, rho = sum_c g_c O_c (computed in
     XLA from the saved forward outputs), sigma_i = running sum of
-    w_j phi_j (j <= i), trans_final = saved forward transmittance."""
+    w_j phi_j (j <= i), trans_final = saved forward transmittance.
+    ``gtiles`` tiles are processed per grid step (see _fwd_kernel)."""
     P = tile * tile
-    sb = _superblock(kmax)
-    t = pl.program_id(0)
-    px, py = _pixel_grid(t, ntx, tile)
+    sb = _superblock(kmax, sup)
     tri_s = _tri(True, sb)
     tri_i = _tri(False, sb)
+
+    for gi_ in range(gtiles):
+        _bwd_tile(counts_ref, attrs_ref, gout_ref, gtrans_ref, rho_ref,
+                  transf_ref, dattrs_ref, gi_, ntx, tile, kmax, sb, tri_s,
+                  tri_i)
+
+
+def _bwd_tile(counts_ref, attrs_ref, gout_ref, gtrans_ref, rho_ref,
+              transf_ref, dattrs_ref, gi_, ntx, tile, kmax, sb, tri_s,
+              tri_i):
+    P = tile * tile
+    gtiles = gout_ref.shape[0]
+    t = pl.program_id(0) * gtiles + gi_
+    px, py = _pixel_grid(t, ntx, tile)
     cnt = counts_ref[t]
-    g = gout_ref[0]                         # (16, P)
-    g_trans = gtrans_ref[0]                 # (1, P)
-    rho = rho_ref[0]                        # (1, P)
-    trans_final = transf_ref[0]             # (1, P)
+    g = gout_ref[gi_]                       # (16, P)
+    g_trans = gtrans_ref[gi_]               # (1, P)
+    rho = rho_ref[gi_]                      # (1, P)
+    trans_final = transf_ref[gi_]           # (1, P)
 
     def super_body(j, carry):
         k0 = pl.multiple_of(j * sb, sb)
 
         def compute(c):
             sigma, trans = c
-            chunk = attrs_ref[0, pl.ds(k0, sb), :]       # (sb, 16)
+            chunk = attrs_ref[gi_, pl.ds(k0, sb), :]     # (sb, 16)
             alpha, dx, dy, q, unclamped = _super_alpha(chunk, px, py)
             one_m = 1.0 - alpha
             one_m_safe = jnp.maximum(one_m, 1e-3)
@@ -298,13 +317,13 @@ def _bwd_kernel(counts_ref, attrs_ref, gout_ref, gtrans_ref, rho_ref,
                        + dmux * _lane_onehot(8) + dmuy * _lane_onehot(9)
                        + dA * _lane_onehot(10) + dB * _lane_onehot(11)
                        + dC * _lane_onehot(12) + dopa * _lane_onehot(13))
-            dattrs_ref[0, pl.ds(k0, sb), :] = d_chunk
+            dattrs_ref[gi_, pl.ds(k0, sb), :] = d_chunk
             return (sigma_i[sb - 1:sb, :],
                     trans * (excl[sb - 1:sb, :]
                              * one_m[sb - 1:sb, :]))
 
         def skip(c):
-            dattrs_ref[0, pl.ds(k0, sb), :] = jnp.zeros(
+            dattrs_ref[gi_, pl.ds(k0, sb), :] = jnp.zeros(
                 (sb, NCH), jnp.float32)
             return c
 
@@ -316,21 +335,31 @@ def _bwd_kernel(counts_ref, attrs_ref, gout_ref, gtrans_ref, rho_ref,
                        jnp.ones((1, P), jnp.float32)))
 
 
-def _blend_fwd_call(attrs, counts, ntx, nty, tile):
+def _grid_tiles(T: int) -> int:
+    """Tiles per grid step: largest power of two <= 16 dividing T."""
+    for g in (16, 8, 4, 2):
+        if T % g == 0:
+            return g
+    return 1
+
+
+def _blend_fwd_call(attrs, counts, ntx, nty, tile, sup):
     T, kmax, _ = attrs.shape
     P = tile * tile
-    kern = functools.partial(_fwd_kernel, ntx=ntx, tile=tile, kmax=kmax)
+    G = _grid_tiles(T)
+    kern = functools.partial(_fwd_kernel, ntx=ntx, tile=tile, kmax=kmax,
+                             sup=sup, gtiles=G)
     out, trans = pl.pallas_call(
         kern,
-        grid=(T,),
+        grid=(T // G,),
         in_specs=[pl.BlockSpec((T,), lambda t: (0,),
                                memory_space=pltpu.SMEM),
-                  pl.BlockSpec((1, kmax, NCH), lambda t: (t, 0, 0),
+                  pl.BlockSpec((G, kmax, NCH), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((1, NCH, P), lambda t: (t, 0, 0),
+            pl.BlockSpec((G, NCH, P), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t: (t, 0, 0),
+            pl.BlockSpec((G, 1, P), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -343,22 +372,24 @@ def _blend_fwd_call(attrs, counts, ntx, nty, tile):
 
 
 def _blend_bwd_call(attrs, counts, g_out, g_trans, rho, trans_final, ntx,
-                    nty, tile):
+                    nty, tile, sup):
     T, kmax, _ = attrs.shape
     P = tile * tile
-    kern = functools.partial(_bwd_kernel, ntx=ntx, tile=tile, kmax=kmax)
-    specs_p = lambda c: pl.BlockSpec((1, c, P), lambda t: (t, 0, 0),
+    G = _grid_tiles(T)
+    kern = functools.partial(_bwd_kernel, ntx=ntx, tile=tile, kmax=kmax,
+                             sup=sup, gtiles=G)
+    specs_p = lambda c: pl.BlockSpec((G, c, P), lambda t: (t, 0, 0),
                                      memory_space=pltpu.VMEM)
     dattrs = pl.pallas_call(
         kern,
-        grid=(T,),
+        grid=(T // G,),
         in_specs=[
             pl.BlockSpec((T,), lambda t: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, kmax, NCH), lambda t: (t, 0, 0),
+            pl.BlockSpec((G, kmax, NCH), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             specs_p(NCH), specs_p(1), specs_p(1), specs_p(1),
         ],
-        out_specs=pl.BlockSpec((1, kmax, NCH), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((G, kmax, NCH), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, kmax, NCH), jnp.float32),
         interpret=INTERPRET,
@@ -366,29 +397,30 @@ def _blend_bwd_call(attrs, counts, g_out, g_trans, rho, trans_final, ntx,
     return dattrs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def _blend_gaussians(attr16, bins: TileBins, ntx: int, nty: int,
-                     tile: int):
+                     tile: int, sup: int, small_span: int, max_span: int):
     """(N, 16) attrs + bins -> (T, 16, P) blended channels, (T, 1, P)
     final transmittance. One custom_vjp over pack+blend so the backward
-    aggregates per-slot grads with a single scatter-add."""
+    aggregates per-slot grads with a single collision-free scatter-set."""
     attrs = _pack_table(attr16, bins)
-    return _blend_fwd_call(attrs, bins.counts, ntx, nty, tile)
+    return _blend_fwd_call(attrs, bins.counts, ntx, nty, tile, sup)
 
 
-def _blend_g_fwd(attr16, bins, ntx, nty, tile):
+def _blend_g_fwd(attr16, bins, ntx, nty, tile, sup, small_span, max_span):
     attrs = _pack_table(attr16, bins)
-    out, trans = _blend_fwd_call(attrs, bins.counts, ntx, nty, tile)
+    out, trans = _blend_fwd_call(attrs, bins.counts, ntx, nty, tile, sup)
     return (out, trans), (attrs, bins, out, trans, attr16.shape[0])
 
 
-def _blend_g_bwd(ntx, nty, tile, res, cotangents):
+def _blend_g_bwd(ntx, nty, tile, sup, small_span, max_span, res,
+                 cotangents):
     attrs, bins, out, trans, n = res
     g_out, g_trans = cotangents
     # rho(p) = sum_c g_c O_c — free from the saved outputs
     rho = jnp.sum(g_out * out, axis=1, keepdims=True)     # (T, 1, P)
     dtable = _blend_bwd_call(attrs, bins.counts, g_out, g_trans, rho,
-                             trans, ntx, nty, tile)
+                             trans, ntx, nty, tile, sup)
     d_attr16 = _unpack_grads(dtable, bins, n)
     return (d_attr16, None)
 
@@ -405,13 +437,15 @@ def rasterize_pallas(
     T_c_w, K, width: int, height: int,
     theta=None, rho=None, bg=None,
     tile: int = 16, max_span: int = 36, max_per_tile: int = 512,
-    normalize_depth: bool = True,
+    normalize_depth: bool = True, superblock: int = SUPER,
 ) -> RenderOutput:
     """Drop-in rasterize() with the fused Pallas blend. Forward output
     matches ops.rasterize.rasterize; gradients flow to all gaussian
     parameters and (theta, rho). max_per_tile must be divisible by a
-    power-of-two superblock >= 8 (any multiple of 256 is ideal)."""
-    _superblock(max_per_tile)   # validates divisibility
+    power-of-two superblock >= 8. ``superblock`` sets the blend-loop
+    granularity: smaller blocks terminate earlier on saturated tiles
+    (transmittance < TRANS_EPS) at the cost of smaller MXU tiles."""
+    _superblock(max_per_tile, superblock)   # validates divisibility
     if theta is not None:
         T_c_w = apply_pose_delta(T_c_w, theta, rho)
     if bg is None:
@@ -425,7 +459,8 @@ def rasterize_pallas(
     ntx = (width + tile - 1) // tile
     nty = (height + tile - 1) // tile
     attr16 = gauss_attr_matrix(p)
-    out, trans = _blend_gaussians(attr16, bins, ntx, nty, tile)
+    out, trans = _blend_gaussians(attr16, bins, ntx, nty, tile,
+                                  superblock, min(9, max_span), max_span)
 
     def untile(x):   # (T, C, P) -> (H, W, C)
         c = x.shape[1]

@@ -185,44 +185,39 @@ def mark_visible(means3d: jnp.ndarray, T_c_w: jnp.ndarray, K: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 class TileBins(NamedTuple):
-    """Per-tile gaussian tables in depth-rank space.
+    """Per-tile gaussian-id tables, depth-sorted front to back.
 
-    Slots hold *depth ranks* (positions in the global front-to-back
-    depth argsort), not raw gaussian ids: the rank is what the sort key
-    carries, and keeping tables in rank space turns the rank->id
-    translation into one cheap (n,)-sized permutation of the per-gaussian
-    attribute rows instead of a (T*Kmax)-sized gather (measured ~13 ms
-    at 1.8M slots on v5e — as large as the sort itself)."""
-    rank_tbl: jnp.ndarray    # (T, Kmax) int32 depth ranks per slot
-    perm: jnp.ndarray        # (n,) int32 — rank -> gaussian id
-    rank: jnp.ndarray        # (n,) int32 — gaussian id -> rank (inverse)
+    Slots hold gaussian ids straight from the sort payload. (Two earlier
+    designs measured worse on v5e: (a) depth-RANK tables with a packed
+    single-u32 key needed a separate 200k argsort + a rank scatter-set +
+    two rank<->id permutations — ~6 ms of extra work the 2-key payload
+    sort avoids at +1 ms sort cost; (b) a collision-free scatter-SET
+    gradient unpack via per-slot pair ids cost ~102 ms for 921k rows —
+    5x worse than the plain scatter-add, unique indices buy nothing.)"""
+    gauss_tbl: jnp.ndarray   # (T, Kmax) int32 gaussian ids per slot
     mask: jnp.ndarray        # (T, Kmax) bool
     counts: jnp.ndarray      # (T,) int32 — per-tile count, clamped to Kmax
     n_overflow: jnp.ndarray  # () i32 — pairs dropped by either cap
 
     @property
     def gauss_idx(self) -> jnp.ndarray:
-        """(T, Kmax) gaussian ids (materializes a full-table gather —
-        the Pallas path avoids this; only the portable XLA blend and
-        debug consumers should touch it)."""
-        n = self.perm.shape[0]
-        return self.perm[jnp.minimum(self.rank_tbl, n - 1)]
+        """(T, Kmax) gaussian ids per slot."""
+        return self.gauss_tbl
 
 
 def _build_window_table(vals_s: jnp.ndarray, starts: jnp.ndarray, T: int,
                         kmax: int) -> jnp.ndarray:
     """(m,) tile-sorted values + (T+1,) run starts -> (T, kmax).
 
-    The rows are contiguous windows vals_s[starts[t] : starts[t]+kmax],
-    extracted as a vmapped dynamic_slice so XLA moves kmax-long
-    contiguous runs instead of element-at-a-time gathers (the naive
-    vals_s[starts[:,None]+arange(kmax)] gather measured ~13 ms for 1.8M
-    slots on v5e; a hand-rolled Pallas DMA-per-window kernel is not
-    viable because Mosaic requires dynamic memref slices to be
-    tiling-aligned — 1024 elements for 1-D i32)."""
+    One flat element gather: TPU gathers cost ~7 ns per element, so
+    T*kmax slots cost ~3 ms at 460k — while the vmapped-dynamic-slice
+    alternative pays a fixed ~2 us *per slice* (measured 8.7 ms for 3600
+    windows: dispatch-bound, not bandwidth-bound). A Pallas
+    DMA-per-window kernel is not viable because Mosaic requires dynamic
+    memref slices to be tiling-aligned (1024 elements for 1-D i32)."""
     vals_pad = jnp.concatenate([vals_s, jnp.zeros((kmax,), vals_s.dtype)])
-    slc = lambda s: jax.lax.dynamic_slice(vals_pad, (s,), (kmax,))
-    return jax.vmap(slc)(starts[:T])
+    idx = starts[:T, None] + jnp.arange(kmax, dtype=jnp.int32)[None, :]
+    return vals_pad[jnp.minimum(idx, vals_s.shape[0] + kmax - 1)]
 
 
 def _tile_range(means2d, r, tile, ntx, nty):
@@ -285,14 +280,14 @@ def bin_gaussians(
     truncation and are counted in n_overflow, as are footprints clipped
     by either span cap or by ``max_per_tile``.
 
-    The sort is a single payload-free u32 key per pair:
-    ``tile_id << RB | depth_rank``, where depth_rank is the gaussian's
-    position in one global (stable, exact) depth argsort — so per-tile
-    runs come out contiguous and front-to-back ordered, and the gaussian
-    id is recovered from the key itself (gid = perm[key & mask]). This
-    mirrors the reference CUDA rasterizer's 64-bit (tile|depth) radix
-    sort with half the key+payload traffic and exact depth ordering
-    (stable ties by gaussian id -> deterministic)."""
+    The sort is one stable 2-key sort (tile_id, depth_bits) carrying the
+    gaussian id as payload — the same ordering as the reference CUDA
+    rasterizer's 64-bit (tile | depth) radix sort. Positive-float depth
+    bitcasts to a monotone u32, and sort stability makes depth ties
+    deterministic (broken by gaussian id). Carrying the id as payload
+    measured cheaper on v5e than the packed-key alternative (tile<<RB |
+    depth_rank), which needed a 200k argsort + rank scatter + two
+    rank<->id permutations around the sort."""
     ntx = (width + tile - 1) // tile
     nty = (height + tile - 1) // tile
     T = ntx * nty
@@ -305,23 +300,21 @@ def bin_gaussians(
     r_cap_l = ((side_l - 1) * tile) / 2.0
     r_raw = p.radius
 
-    # global depth order: rank is exact and unique per gaussian
-    perm = jnp.argsort(p.depth).astype(jnp.int32)            # (n,)
-    rank = jnp.zeros((n,), jnp.int32).at[perm].set(
-        jnp.arange(n, dtype=jnp.int32))
+    # positive floats compare like their IEEE bit patterns (depth > near
+    # > 0 for every non-dumped pair)
+    depth_bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(p.depth, 0.0), jnp.uint32)
+    gid = jnp.arange(n, dtype=jnp.int32)
 
-    rb = int(np.ceil(np.log2(max(n, 2))))
-    assert T + 1 <= 2 ** (32 - rb), (
-        "too many gaussians x tiles for the packed u32 sort key; "
-        "raise the tile size or split the image")
-
-    def pack_key(ptile, prank):
-        return (ptile.astype(jnp.uint32) << rb) | prank.astype(jnp.uint32)
+    def tier(tiles, db, gids, span):
+        rep = lambda x: jnp.broadcast_to(x[:, None],
+                                         (x.shape[0], span)).reshape(-1)
+        return tiles.reshape(-1).astype(jnp.uint32), rep(db), rep(gids)
 
     if max_span > small_span:
         # ---- tier split ----
         lcap = large_cap if large_cap is not None else min(
-            n, max(512, n // 8))
+            n, max(512, n // 32))
         is_large = p.valid & (r_raw > r_cap_s)
         idx_l = jnp.nonzero(is_large, size=lcap, fill_value=n)[0]
         sel = idx_l < n                                       # (lcap,)
@@ -334,7 +327,7 @@ def bin_gaussians(
         tiles_s = _enum_pairs(tx0, ty0, sx, sy, p.valid & ~in_large,
                               small_span, ntx, T,
                               means2d=p.means2d, r=r_s, tile=tile)
-        key_s = pack_key(tiles_s, rank[:, None])
+        ks = tier(tiles_s, depth_bits, gid, small_span)
 
         # large tier: gathered rows, radius <= r_cap_l
         idx_c = jnp.minimum(idx_l, n - 1)
@@ -343,9 +336,11 @@ def bin_gaussians(
         tx0l, ty0l, sxl, syl = _tile_range(m2d_l, r_l, tile, ntx, nty)
         tiles_l = _enum_pairs(tx0l, ty0l, sxl, syl, sel, max_span, ntx, T,
                               means2d=m2d_l, r=r_l, tile=tile)
-        key_l = pack_key(tiles_l, rank[idx_c][:, None])
+        kl = tier(tiles_l, depth_bits[idx_c], idx_c, max_span)
 
-        key = jnp.concatenate([key_s.reshape(-1), key_l.reshape(-1)])
+        key_t = jnp.concatenate([ks[0], kl[0]])
+        key_d = jnp.concatenate([ks[1], kl[1]])
+        pay_g = jnp.concatenate([ks[2], kl[2]])
         span_overflow = (n_unselected
                          + jnp.sum(sel & (r_raw[idx_c] > r_cap_l)))
     else:
@@ -353,26 +348,37 @@ def bin_gaussians(
         tx0, ty0, sx, sy = _tile_range(p.means2d, r, tile, ntx, nty)
         tiles = _enum_pairs(tx0, ty0, sx, sy, p.valid, small_span, ntx, T,
                             means2d=p.means2d, r=r, tile=tile)
-        key = pack_key(tiles, rank[:, None]).reshape(-1)
+        key_t, key_d, pay_g = tier(tiles, depth_bits, gid, small_span)
         span_overflow = jnp.sum(p.valid & (r_raw > r_cap_s))
 
-    key_sorted = jax.lax.sort((key,), num_keys=1)[0]
-
-    # per-tile ranges straight off the packed keys
-    bounds = (jnp.arange(T + 1, dtype=jnp.uint32) << rb)
-    starts = jnp.searchsorted(key_sorted, bounds,
-                              side="left").astype(jnp.int32)
+    if T + 1 <= 1 << 12:
+        # pack (tile, depth) into one u32: tile in the top 12 bits, the
+        # float depth's top 20 bits below (monotone for positive floats;
+        # quantization ~2^-20 of the depth range, ties broken stably by
+        # enumeration order). One single-key sort measured ~3 ms cheaper
+        # than the (tile, depth_bits) two-key variadic sort at 2M pairs.
+        key = (key_t << 20) | (key_d >> 12)
+        key_sorted, gid_sorted = jax.lax.sort((key, pay_g), num_keys=1,
+                                              is_stable=True)
+        bounds = jnp.arange(T + 1, dtype=jnp.uint32) << 20
+        starts = jnp.searchsorted(key_sorted, bounds,
+                                  side="left").astype(jnp.int32)
+    else:
+        tile_sorted, _, gid_sorted = jax.lax.sort(
+            (key_t, key_d, pay_g), num_keys=2, is_stable=True)
+        # per-tile ranges straight off the sorted tile ids
+        bounds = jnp.arange(T + 1, dtype=jnp.uint32)
+        starts = jnp.searchsorted(tile_sorted, bounds,
+                                  side="left").astype(jnp.int32)
     counts = starts[1:] - starts[:-1]
     tile_overflow = jnp.sum(jnp.maximum(counts - max_per_tile, 0))
     counts = jnp.minimum(counts, max_per_tile)
 
     k = jnp.arange(max_per_tile, dtype=jnp.int32)
     mask = k[None, :] < counts[:, None]
-    rank_tbl = (_build_window_table(key_sorted, starts, T, max_per_tile)
-                & jnp.uint32(2 ** rb - 1)).astype(jnp.int32)
+    gauss_tbl = _build_window_table(gid_sorted, starts, T, max_per_tile)
 
-    return TileBins(rank_tbl=rank_tbl, perm=perm, rank=rank,
-                    mask=mask, counts=counts,
+    return TileBins(gauss_tbl=gauss_tbl, mask=mask, counts=counts,
                     n_overflow=span_overflow + tile_overflow)
 
 
@@ -616,7 +622,7 @@ def blend_tiles_surfel(
     nty = (height + tile - 1) // tile
     T = ntx * nty
     P = tile * tile
-    Kmax = bins.rank_tbl.shape[1]
+    Kmax = bins.gauss_tbl.shape[1]
 
     tx = (jnp.arange(T, dtype=jnp.int32) % ntx) * tile
     ty = (jnp.arange(T, dtype=jnp.int32) // ntx) * tile

@@ -73,7 +73,7 @@ def render_sharded(
                                  valid, T_c_w, K, width, height)
         bins = rz.bin_gaussians(p, width, height, tile=tile,
                                 max_span=max_span, max_per_tile=max_per_tile)
-        n_tiles = bins.rank_tbl.shape[0]
+        n_tiles = bins.gauss_tbl.shape[0]
         bins = jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(
                 x, tile_shard if x.ndim >= 1 and x.shape[0] == n_tiles
@@ -152,7 +152,7 @@ def render_gauss_sharded(
     p_struct = jax.tree.map(jax.lax.stop_gradient, p_full)
     bins = rz.bin_gaussians(p_struct, width, height, tile=tile,
                             max_span=max_span, max_per_tile=max_per_tile)
-    n_tiles = bins.rank_tbl.shape[0]
+    n_tiles = bins.gauss_tbl.shape[0]
     tile_shard = NamedSharding(mesh, P(naxis))
     repl = NamedSharding(mesh, P())
     if n_tiles % nd == 0:
@@ -230,7 +230,7 @@ def make_dp_train_step(cfg, optimizer, mesh: Mesh, width: int, height: int,
         gs_loss = jnp.mean(per_cam)
         # concurrent SDF supervision (replicated batch)
         m, d = apply_gs_params(static_map, decoders, params)
-        pts_b, sdf_lab, col_lab, w_b, valid_b = sdf_batch
+        pts_b, sdf_lab, col_lab, w_b, valid_b = sdf_batch[:5]
         sdf_p, _, qv = field.sdf_at(m, d, pts_b, sigma_scale,
                                     cfg.query_nn_k, cfg.num_nei_cells,
                                     cfg.search_alpha)

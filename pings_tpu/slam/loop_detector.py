@@ -41,14 +41,44 @@ def scan_context(points_local: np.ndarray, num_rings: int = 20,
     return np.where(sc > min_z, sc, 0.0)
 
 
+def scan_context_feature(points_local: np.ndarray, feats: np.ndarray,
+                         num_rings: int = 20, num_sectors: int = 60,
+                         max_dist: float = 60.0) -> np.ndarray:
+    """Feature-augmented descriptor: mean neural-point feature per
+    (ring, sector) bin, stacked under the height channel (reference
+    loop_with_feature contexts, loop_detector.py:461-506: sc built from
+    mean neural-point features instead of raw max-z only)."""
+    x, y = points_local[:, 0], points_local[:, 1]
+    r = np.sqrt(x * x + y * y)
+    theta = np.arctan2(y, x) + np.pi
+    ring = np.minimum((r / max_dist * num_rings).astype(np.int64),
+                      num_rings - 1)
+    sector = np.minimum((theta / (2 * np.pi) * num_sectors).astype(np.int64),
+                        num_sectors - 1)
+    ok = (r < max_dist) & (r > 1e-3)
+    F = feats.shape[1]
+    acc = np.zeros((num_rings * num_sectors, F), np.float32)
+    cnt = np.zeros(num_rings * num_sectors, np.float32)
+    bins = ring[ok] * num_sectors + sector[ok]
+    np.add.at(acc, bins, feats[ok])
+    np.add.at(cnt, bins, 1.0)
+    mean = acc / np.maximum(cnt, 1.0)[:, None]
+    return mean.reshape(num_rings, num_sectors, F)
+
+
 def ring_key(sc: np.ndarray) -> np.ndarray:
     """Rotation-invariant prefilter key: row occupancy mean."""
+    if sc.ndim == 3:
+        sc = np.abs(sc).sum(-1)
     return (sc != 0).mean(axis=1)
 
 
 def sc_distance(sc1: np.ndarray, sc2: np.ndarray) -> Tuple[float, int]:
     """Column-shift cosine distance; returns (min distance, shift) where
     the shift estimates relative yaw (loop_detector.py:218-270)."""
+    if sc1.ndim == 3:   # feature contexts: fold channels into rows
+        sc1 = sc1.transpose(0, 2, 1).reshape(-1, sc1.shape[1])
+        sc2 = sc2.transpose(0, 2, 1).reshape(-1, sc2.shape[1])
     ns = sc1.shape[1]
     best = (np.inf, 0)
     n1 = np.linalg.norm(sc1, axis=0) + 1e-9
@@ -84,19 +114,29 @@ class ScanContextManager:
         self.nodes: List[ContextNode] = []
         self.virtual_count = cfg.context_virtual_side_count
         self.virtual_step = cfg.context_virtual_step_m
+        self.with_feature = getattr(cfg, "loop_with_feature", False)
 
-    def add_node(self, frame_id: int, points_local: np.ndarray):
+    def _describe(self, points_local: np.ndarray,
+                  feats: Optional[np.ndarray]) -> np.ndarray:
+        if self.with_feature and feats is not None:
+            return scan_context_feature(points_local, feats, self.num_rings,
+                                        self.num_sectors, self.max_dist)
+        return scan_context(points_local, self.num_rings, self.num_sectors,
+                            self.max_dist)
+
+    def add_node(self, frame_id: int, points_local: np.ndarray,
+                 feats: Optional[np.ndarray] = None):
         """Add descriptors for the frame; virtual side nodes shift the
         cloud laterally (±y) to tolerate revisit offsets
-        (loop_detector.py:79-152)."""
+        (loop_detector.py:79-152). ``feats`` (N, F) switches to
+        feature-augmented contexts when cfg.loop_with_feature."""
         offs = [0.0]
         for i in range(1, self.virtual_count + 1):
             offs += [i * self.virtual_step, -i * self.virtual_step]
         scs, rks = [], []
         for off in offs:
             shifted = points_local + np.array([0.0, off, 0.0], np.float32)
-            sc = scan_context(shifted, self.num_rings, self.num_sectors,
-                              self.max_dist)
+            sc = self._describe(shifted, feats)
             scs.append(sc)
             rks.append(ring_key(sc))
         self.nodes.append(ContextNode(
@@ -106,13 +146,13 @@ class ScanContextManager:
     def detect_global_loop(
         self, points_local: np.ndarray, cur_frame_id: int,
         exclude_recent_frames: int = 30,
+        feats: Optional[np.ndarray] = None,
     ) -> Optional[Tuple[int, float, float, float]]:
         """Query the database. Returns (frame_id, cos_dist, yaw_rad,
         side_offset_m) of the best candidate under the threshold."""
         if not self.nodes:
             return None
-        q_sc = scan_context(points_local, self.num_rings, self.num_sectors,
-                            self.max_dist)
+        q_sc = self._describe(points_local, feats)
         q_rk = ring_key(q_sc)
         # ring-key prefilter over all (node, virtual) pairs
         cands = []

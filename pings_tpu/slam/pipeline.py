@@ -120,7 +120,8 @@ class SlamSystem:
     def _sync_params_from_map(self):
         """Re-extract trainable leaves after map mutation."""
         if self._sdf is not None:
-            self._sdf[1] = sdf_mapper.sdf_params(self.m, self.decoders)
+            self._sdf[1] = sdf_mapper.sdf_params(self.m, self.decoders,
+                                                 self.cfg.semantic_on)
         if self._gs is not None:
             self._gs[1] = gs_mapper.gs_params(self.m, self.decoders,
                                               self.exposure, self.cam_delta)
@@ -205,10 +206,13 @@ class SlamSystem:
             if fid > 0:
                 self.pgo.add_odometry_factor(fid - 1, fid, self.T_rel_last)
             src_np = pre.source_points[pre.source_mask]
+            src_feats = self._context_feats(src_np) \
+                if cfg.loop_with_feature else None
             if fid % max(cfg.local_map_context_latency, 1) == 0:
-                self.sc.add_node(fid, src_np)
+                self.sc.add_node(fid, src_np, feats=src_feats)
             if fid > 10 and rep.tracking_valid:
-                rep.loop_closed = self._try_loops(pre, fid, src_np)
+                rep.loop_closed = self._try_loops(pre, fid, src_np,
+                                                  src_feats)
         rep.timings["loop"] = time.time() - t2
 
         # ---------- IV. map update + SDF supervision ----------
@@ -230,8 +234,25 @@ class SlamSystem:
         return rep
 
     # -- loop closure internals ---------------------------------------------
+    def _context_feats(self, src_np: np.ndarray) -> np.ndarray:
+        """Neural-point geo features interpolated at the scan points, for
+        feature-augmented scan contexts (reference loop_with_feature,
+        loop_detector.py:461-506: contexts built from neural-point
+        features). Points are in the sensor frame; features are queried in
+        the world frame at the current pose estimate."""
+        T = self.poses[-1]
+        pts_w = (src_np @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+        q = npm.query_feature(self.m, jnp.asarray(pts_w),
+                              k=self.cfg.query_nn_k,
+                              stencil_r=self.cfg.num_nei_cells,
+                              search_alpha=self.cfg.search_alpha)
+        feat = jnp.sum(self.m.geo_feat[q.nn_idx] * q.weights[..., None],
+                       axis=-2)
+        return np.asarray(jnp.where(q.valid[:, None], feat, 0.0))
+
     def _try_loops(self, pre: PreprocessedFrame, fid: int,
-                   src_np: np.ndarray) -> bool:
+                   src_np: np.ndarray,
+                   src_feats: Optional[np.ndarray] = None) -> bool:
         cfg = self.cfg
         drift = self.pgo.estimate_drift(self.travel[-1])
         cand = detect_local_loop(self.poses, list(range(len(self.poses))),
@@ -242,7 +263,7 @@ class SlamSystem:
             cand_fid = cand[0]
             init_T = self.poses[cand_fid]
         elif cfg.local_map_context and self.sc is not None:
-            hit = self.sc.detect_global_loop(src_np, fid)
+            hit = self.sc.detect_global_loop(src_np, fid, feats=src_feats)
             if hit is not None:
                 cand_fid, _, yaw, side = hit
                 T_c = self.poses[cand_fid].copy()
@@ -342,8 +363,10 @@ class SlamSystem:
 
         # SDF samples -> replay pool
         origin = T[:3, 3].astype(np.float32)
+        sem_l = (jnp.asarray(pre.sem) if cfg.semantic_on
+                 and pre.sem is not None else None)
         s = sample_rays_cfg(self._next_key(), jp, jc, jm,
-                            jnp.asarray(origin), cfg)
+                            jnp.asarray(origin), cfg, sem_labels=sem_l)
         self.pool = rp.pool_insert(self.pool, s, jnp.int32(fid),
                                    self._next_key())
         # certainty accumulation on endpoints; the pre-accumulation blended

@@ -1,0 +1,194 @@
+#!/usr/bin/env python3
+"""Generate validation sequences in REAL dataset on-disk formats.
+
+This environment has zero network egress, so the reference's
+scripts/download_replica.sh / download_kitti_example.sh cannot run.
+Instead this script ray-traces procedural worlds and writes them in the
+exact formats the real loaders parse:
+
+- Replica format (reference dataset/dataloaders/replica.py): a textured
+  indoor room rendered at 1200x680 with the hardcoded Replica intrinsics
+  (fx=fy=600, cx=599.5, cy=339.5), written as results/frame%06d.jpg +
+  results/depth%06d.png (uint16, scale 6553.5) + traj.txt (flattened
+  camera-to-world 4x4 per line).
+- KITTI odometry format (reference dataset/dataloaders/kitti.py): the
+  outdoor synthetic world scanned by a 64-beam spinning LiDAR, written
+  as velodyne/%06d.bin (x y z intensity f32), image_2/%06d.png, calib.txt
+  (P2 + Tr) and poses.txt (cam0-frame KITTI 3x4 rows).
+
+The sequences exercise the real loader code paths end to end; metrics on
+them are recorded by scripts/run_validation.py into RESULTS.md.
+
+Usage: python scripts/make_validation_data.py [out_dir] [--frames N]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pings_tpu.data.synthetic import _ray_scene, default_world  # noqa: E402
+from pings_tpu.utils import pose as hp  # noqa: E402
+
+
+def room_world():
+    """Indoor world: a 10x8x3 m room shell with furniture-scale boxes
+    and spheres."""
+    return [
+        {"kind": "box_inner", "min": np.array([-5.0, -4.0, 0.0]),
+         "max": np.array([5.0, 4.0, 3.0]),
+         "color1": np.array([0.75, 0.72, 0.65], np.float32),
+         "color2": np.array([0.45, 0.47, 0.52], np.float32)},
+        {"kind": "box", "min": np.array([1.5, -3.2, 0.0]),
+         "max": np.array([3.5, -1.8, 0.9]),
+         "color": np.array([0.6, 0.3, 0.2], np.float32)},
+        {"kind": "box", "min": np.array([-3.5, 1.5, 0.0]),
+         "max": np.array([-1.5, 3.4, 1.4]),
+         "color": np.array([0.25, 0.45, 0.65], np.float32)},
+        {"kind": "sphere", "center": np.array([0.0, -2.0, 0.6]),
+         "radius": 0.6, "tint": 1.0},
+        {"kind": "sphere", "center": np.array([-2.5, -2.5, 1.8]),
+         "radius": 0.45, "tint": -1.0},
+        {"kind": "box", "min": np.array([3.6, 1.8, 0.0]),
+         "max": np.array([4.6, 3.6, 2.2]),
+         "color": np.array([0.7, 0.65, 0.3], np.float32)},
+    ]
+
+
+def render_pinhole(T_w_c, K, width, height, objects):
+    """Ray-cast an RGB + z-depth image for a camera-to-world pose."""
+    ys, xs = np.mgrid[0:height, 0:width]
+    dc = np.stack([
+        (xs + 0.5 - K[0, 2]) / K[0, 0],
+        (ys + 0.5 - K[1, 2]) / K[1, 1],
+        np.ones_like(xs, np.float64),
+    ], -1).reshape(-1, 3)
+    dcn = dc / np.linalg.norm(dc, axis=1, keepdims=True)
+    dw = dcn @ T_w_c[:3, :3].T
+    co = np.tile(T_w_c[:3, 3], (len(dw), 1))
+    t, hit, col = _ray_scene(co, dw, objects)
+    img = (np.clip(col, 0, 1) * 255).astype(np.uint8).reshape(
+        height, width, 3)
+    z = (t * dcn[:, 2]).reshape(height, width)
+    depth = np.where(hit.reshape(height, width), z, 0.0).astype(np.float32)
+    return img, depth
+
+
+def make_replica(out_dir: str, n_frames: int):
+    import cv2
+
+    seq = os.path.join(out_dir, "replica_synth", "room_synth")
+    res = os.path.join(seq, "results")
+    os.makedirs(res, exist_ok=True)
+    objects = room_world()
+    K = np.array([[600.0, 0, 599.5], [0, 600.0, 339.5], [0, 0, 1]])
+    W, H = 1200, 680
+    poses = []
+    for i in range(n_frames):
+        # slow orbit inside the room, looking outward-and-down slightly
+        ang = 2 * np.pi * i / max(n_frames, 1) * 0.75
+        eye = np.array([1.8 * np.cos(ang), 1.5 * np.sin(ang), 1.4])
+        yaw = ang + np.pi / 2 * 0.6 + 0.3 * np.sin(2 * ang)
+        R_wc = hp.so3_exp(np.array([0, 0, yaw])) @ \
+            hp.so3_exp(np.array([0.12, 0, 0])) @ \
+            np.array([[0.0, 0, 1], [-1, 0, 0], [0, -1, 0]])
+        T_w_c = np.eye(4)
+        T_w_c[:3, :3] = R_wc
+        T_w_c[:3, 3] = eye
+        poses.append(T_w_c)
+        img, depth = render_pinhole(T_w_c, K, W, H, objects)
+        cv2.imwrite(os.path.join(res, f"frame{i:06d}.jpg"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                    [cv2.IMWRITE_JPEG_QUALITY, 97])
+        d16 = np.clip(depth * 6553.5, 0, 65535).astype(np.uint16)
+        cv2.imwrite(os.path.join(res, f"depth{i:06d}.png"), d16)
+    np.savetxt(os.path.join(seq, "traj.txt"),
+               np.stack([p.reshape(-1) for p in poses]))
+    print(f"replica_synth: {n_frames} frames -> {seq}")
+    return seq
+
+
+def make_kitti(out_dir: str, n_frames: int):
+    import cv2
+
+    seq = os.path.join(out_dir, "kitti_synth", "00")
+    os.makedirs(os.path.join(seq, "velodyne"), exist_ok=True)
+    os.makedirs(os.path.join(seq, "image_2"), exist_ok=True)
+    objects = default_world()
+    rng = np.random.default_rng(0)
+
+    # body/lidar frame: x forward, z up. cam2: x right, y down, z forward.
+    T_c_l = np.eye(4)
+    T_c_l[:3, :3] = np.array([[0.0, -1, 0], [0, 0, -1], [1, 0, 0]])
+    T_c_l[:3, 3] = [0.05, -0.1, -0.3]
+    K = np.array([[420.0, 0, 320.0], [0, 420.0, 120.0], [0, 0, 1.0]])
+    W, H = 640, 240
+
+    # gently curving forward trajectory
+    poses = []
+    T = np.eye(4)
+    T[:3, 3] = [0, 0, 1.6]
+    for i in range(n_frames):
+        poses.append(T.copy())
+        dyaw = 0.012 * np.sin(i / 18.0)
+        T = T @ hp.se3_exp(np.array([0.45, 0, 0, 0, 0, dyaw]))
+
+    el = np.radians(np.linspace(-24.8, 2.0, 64))
+    az = np.linspace(-np.pi, np.pi, 1024, endpoint=False)
+    AZ, EL = np.meshgrid(az, el)
+    dirs_l = np.stack([np.cos(EL) * np.cos(AZ), np.cos(EL) * np.sin(AZ),
+                       np.sin(EL)], -1).reshape(-1, 3)
+
+    for i, T in enumerate(poses):
+        dirs_w = dirs_l @ T[:3, :3].T
+        origins = np.tile(T[:3, 3], (len(dirs_w), 1))
+        t, hit, _ = _ray_scene(origins, dirs_w, objects)
+        t = t + rng.normal(0, 0.008, len(t)) * hit
+        keep = hit & (t < 80.0) & (t > 1.5)
+        pts_l = (dirs_l[keep] * t[keep, None]).astype(np.float32)
+        inten = rng.random(len(pts_l), np.float32)[:, None]
+        np.concatenate([pts_l, inten], 1).astype(np.float32).tofile(
+            os.path.join(seq, "velodyne", f"{i:06d}.bin"))
+
+        T_w_c = T @ hp.se3_inv(T_c_l)
+        img, _ = render_pinhole(T_w_c, K, W, H, objects)
+        cv2.imwrite(os.path.join(seq, "image_2", f"{i:06d}.png"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+
+    # calib: P2 = K [I | 0]; Tr = cam0 <- lidar (use cam2 frame for cam0)
+    P2 = np.hstack([K, np.zeros((3, 1))])
+    with open(os.path.join(seq, "calib.txt"), "w") as f:
+        for name in ("P0", "P1", "P2", "P3"):
+            f.write(f"{name}: " + " ".join(f"{v:.12e}"
+                    for v in P2.reshape(-1)) + "\n")
+        f.write("Tr: " + " ".join(f"{v:.12e}"
+                for v in T_c_l[:3, :4].reshape(-1)) + "\n")
+    # poses.txt: cam0-frame T_w_cam rows (KITTI convention):
+    # T_cam = Tr @ T_lidar @ Tr^-1
+    rows = []
+    for T in poses:
+        Tc = T_c_l @ T @ hp.se3_inv(T_c_l)
+        rows.append(Tc[:3, :4].reshape(-1))
+    np.savetxt(os.path.join(seq, "poses.txt"), np.stack(rows))
+    print(f"kitti_synth: {n_frames} frames -> {seq}")
+    return seq
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir", nargs="?", default="data_validation")
+    ap.add_argument("--frames-replica", type=int, default=60)
+    ap.add_argument("--frames-kitti", type=int, default=80)
+    ap.add_argument("--only", choices=("replica", "kitti"), default=None)
+    args = ap.parse_args()
+    if args.only in (None, "replica"):
+        make_replica(args.out_dir, args.frames_replica)
+    if args.only in (None, "kitti"):
+        make_kitti(args.out_dir, args.frames_kitti)
+
+
+if __name__ == "__main__":
+    main()

@@ -64,8 +64,8 @@ class TestPool:
                         jnp.zeros((32, 3)), jnp.ones(32, bool), jnp.zeros(3))
         pool = rp.pool_insert(pool, s, jnp.int32(0), jax.random.PRNGKey(1))
         assert int(pool.count) == 32 * 7
-        pts, sdf, col, w, valid = rp.pool_batch(pool, jax.random.PRNGKey(2),
-                                                128, 32)
+        pts, sdf, col, w, valid, sem = rp.pool_batch(
+            pool, jax.random.PRNGKey(2), 128, 32)
         assert pts.shape == (128, 3) and bool(valid.all())
 
     def test_eviction_keeps_capacity(self, rng):
