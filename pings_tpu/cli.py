@@ -132,6 +132,13 @@ def run(args) -> dict:
             os.path.join(run_dir, "viewer.html"), packets)
     if cfg.save_map:
         system.save(os.path.join(run_dir, "model", "pin_map.npz"))
+    if cfg.save_merged_pc:
+        from pings_tpu.data.pointcloud_io import write_ply_points
+
+        pc = system.merged_point_cloud()
+        write_ply_points(os.path.join(run_dir, "merged_point_cloud.ply"),
+                         pc[:, :3], pc[:, 3:6])
+        results["merged_pc_points"] = len(pc)
     if args.save_mesh or cfg.save_mesh:
         from pings_tpu.slam.mesher import Mesher, write_ply
 
@@ -139,6 +146,8 @@ def run(args) -> dict:
         v, t, c = mesher.recon_map_mesh(system.m, system.decoders)
         write_ply(os.path.join(run_dir, "mesh.ply"), v, t, c)
         results["mesh_verts"] = len(v)
+    with open(os.path.join(run_dir, "summary.json"), "w") as f:
+        json.dump(results, f, indent=2, default=float)
     if not cfg.silence:
         print(json.dumps(results, indent=2, default=float))
     return results

@@ -249,6 +249,9 @@ class Config:
     mesh_freq_frame: int = 0
     mesh_min_nn: int = 8
     mc_res_m: float = 0.2
+    # drop mesh connected components with fewer triangles (reference
+    # min_cluster_vertices=500 gated by filter_isolated_mesh; 0 = off)
+    min_cluster_vertices: int = 0
     pad_voxel: int = 2
     skip_top_voxel: int = 0
     mc_mask_on: bool = True

@@ -66,7 +66,20 @@ def preprocess_frame(frame: dict, cfg, T_rel_last: np.ndarray,
     jm &= tf.crop_range_mask(jp, cfg.min_range, cfg.max_range,
                              cfg.min_z, cfg.max_z)
     if deskew_on and ts is not None and len(ts):
-        ts_p, _ = pad_pow2(np.asarray(ts, np.float32))
+        ts_np = np.asarray(ts, np.float32).copy()
+        lidar_idx = frame.get("point_lidar_idx")
+        if lidar_idx is not None and len(lidar_idx):
+            # multi-LiDAR: each sensor sweeps on its own clock — normalize
+            # timestamps per sensor so one relative-motion slerp
+            # compensates all of them (reference deskewing multi-LiDAR
+            # branch, utils/tools.py:1126-1156)
+            li = np.asarray(lidar_idx).reshape(-1)
+            for s_id in np.unique(li):
+                sel = li == s_id
+                t0, t1 = ts_np[sel].min(), ts_np[sel].max()
+                if t1 > t0:
+                    ts_np[sel] = (ts_np[sel] - t0) / (t1 - t0)
+        ts_p, _ = pad_pow2(ts_np)
         jp = tf.deskew(jp, jnp.asarray(ts_p),
                        jnp.asarray(T_rel_last, jnp.float32))
     keep_map = tf.voxel_down_sample_mask(jp, jm, cfg.vox_down_m)
@@ -103,6 +116,10 @@ def preprocess_frame(frame: dict, cfg, T_rel_last: np.ndarray,
             "sky": frame.get("sky", {}).get(cam),
             "K": frame["K"][cam],
             "T_c_l": frame["T_c_l"][cam],
+            # fraction of a frame period between this camera's shutter and
+            # the LiDAR sweep reference time (reference per-camera
+            # timestamp slerp, slam_dataset.py:821-836); 0 = synchronized
+            "ts_frac": frame.get("cam_ts_frac", {}).get(cam, 0.0),
         }
     if "gt_pose" in frame:
         out.gt_pose = np.asarray(frame["gt_pose"], np.float64)

@@ -181,3 +181,34 @@ def read_points_any(path: str) -> Dict[str, np.ndarray]:
             out["intensity"] = raw[:, 3].astype(np.float32)
         return out
     raise ValueError(f"unknown point-cloud format: {path}")
+
+
+def write_ply_points(path: str, pts: np.ndarray,
+                     colors: np.ndarray = None) -> None:
+    """Binary PLY point-cloud writer (xyz [+ uchar rgb]). Counterpart of
+    the reference's o3d.io.write_point_cloud for the merged-cloud output
+    (slam_dataset.py:995-1195)."""
+    n = len(pts)
+    with_rgb = colors is not None and len(colors) == n
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element vertex {n}",
+              "property float x", "property float y", "property float z"]
+    if with_rgb:
+        header += ["property uchar red", "property uchar green",
+                   "property uchar blue"]
+    header.append("end_header")
+    if with_rgb:
+        dt = np.dtype([("xyz", np.float32, 3), ("rgb", np.uint8, 3)])
+        rec = np.empty(n, dt)
+        rec["xyz"] = pts.astype(np.float32)
+        c = np.asarray(colors)
+        if c.dtype != np.uint8:
+            c = (np.clip(c, 0, 1) * 255).astype(np.uint8)
+        rec["rgb"] = c
+    else:
+        dt = np.dtype([("xyz", np.float32, 3)])
+        rec = np.empty(n, dt)
+        rec["xyz"] = pts.astype(np.float32)
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode())
+        rec.tofile(f)

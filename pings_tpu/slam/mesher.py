@@ -126,8 +126,14 @@ class Mesher:
         if not all_v:
             return (np.zeros((0, 3), np.float32),
                     np.zeros((0, 3), np.int32), None)
-        return (np.concatenate(all_v), np.concatenate(all_t),
-                np.concatenate(all_c) if all_c else None)
+        verts = np.concatenate(all_v)
+        tris = np.concatenate(all_t)
+        cols = np.concatenate(all_c) if all_c else None
+        min_tri = getattr(self.cfg, "min_cluster_vertices", 0)
+        if min_tri and len(tris):
+            verts, tris, cols = filter_isolated_clusters(
+                verts, tris, cols, min_tri)
+        return verts, tris, cols
 
     def query_colors(self, m, decoders, verts: np.ndarray,
                      batch: int = 1 << 16) -> np.ndarray:
@@ -157,6 +163,40 @@ def _grid_query(m, decoders, pts, sigma_scale, k, stencil_r, search_alpha):
     per_nb = dec.mlp_forward(decoders["sdf"], q.feat)[..., 0] * sigma_scale
     sdf = jnp.sum(per_nb * q.weights, axis=-1)
     return sdf, q.weights, q.valid, q.nn_count
+
+
+def filter_isolated_clusters(verts: np.ndarray, tris: np.ndarray,
+                             cols, min_tri: int):
+    """Drop mesh connected components with fewer than ``min_tri``
+    triangles (reference filter_isolated_vertices, utils/mesher.py:625-634,
+    driven by config.min_cluster_vertices). Union-find over triangle
+    edges on the host — meshes here are << 10M triangles."""
+    n = len(verts)
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for col_pair in ((0, 1), (1, 2)):
+        for a, b in tris[:, col_pair]:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+    root = np.array([find(i) for i in range(n)])
+    tri_root = root[tris[:, 0]]
+    counts = np.bincount(tri_root, minlength=n)
+    keep_tri = counts[tri_root] >= min_tri
+    tris = tris[keep_tri]
+    used = np.zeros(n, bool)
+    used[tris.reshape(-1)] = True
+    remap = np.cumsum(used) - 1
+    verts2 = verts[used]
+    tris2 = remap[tris].astype(np.int32)
+    cols2 = cols[used] if cols is not None else None
+    return verts2, tris2, cols2
 
 
 def write_ply(path: str, verts: np.ndarray, tris: np.ndarray,

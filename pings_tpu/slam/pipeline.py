@@ -32,6 +32,7 @@ from pings_tpu.mapping.sampler import sample_rays_cfg
 from pings_tpu.models import decoder as dec, field, neural_points as npm
 from pings_tpu.models.renderer import CamView
 from pings_tpu.odometry.tracker import Tracker
+from pings_tpu.ops import transforms as tf
 from pings_tpu.slam.loop_detector import ScanContextManager, detect_local_loop
 from pings_tpu.slam.pgo import PoseGraph
 from pings_tpu.utils import pose as hp
@@ -66,6 +67,9 @@ class SlamSystem:
             self.exposure, self.cam_delta = self.campool.init_param_pools()
         self.rng = np.random.default_rng(cfg.seed)
         self._key = jax.random.PRNGKey(cfg.seed + 1)
+        # merged world-frame cloud accumulator (reference merged-cloud
+        # writer, slam_dataset.py:995-1195), gated by cfg.save_merged_pc
+        self._merged_pc: List[np.ndarray] = []
         self.mono_provider = None
         if cfg.mono_depth_on:
             from pings_tpu.data.monodepth import make_provider
@@ -233,6 +237,13 @@ class SlamSystem:
         rep.n_points = int(self.m.count)
         return rep
 
+    def merged_point_cloud(self) -> np.ndarray:
+        """(M, 6) xyz+rgb merged downsampled world-frame cloud
+        (requires cfg.save_merged_pc)."""
+        if not self._merged_pc:
+            return np.zeros((0, 6), np.float32)
+        return np.concatenate(self._merged_pc)
+
     # -- loop closure internals ---------------------------------------------
     def _context_feats(self, src_np: np.ndarray) -> np.ndarray:
         """Neural-point geo features interpolated at the scan points, for
@@ -327,7 +338,14 @@ class SlamSystem:
         # project_pointcloud_to_cams, pings.py:301)
         valid_color = np.zeros(len(pts_w), bool)
         for cam, cd in pre.cams.items():
-            T_c_w = np.asarray(cd["T_c_l"], np.float64) @ hp.se3_inv(T)
+            # camera shutter offset: slerp the body pose to the camera's
+            # timestamp (reference per-camera slerp_pose,
+            # slam_dataset.py:821-836)
+            T_cam_t = T
+            frac = float(cd.get("ts_frac", 0.0) or 0.0)
+            if frac != 0.0 and len(self.poses) >= 2:
+                T_cam_t = hp.slerp_pose(self.poses[-2], T, 1.0 + frac)
+            T_c_w = np.asarray(cd["T_c_l"], np.float64) @ hp.se3_inv(T_cam_t)
             c, v = colorize_scan(pts_w, mask, T_c_w, cd["K"], cd["img"])
             new = v & ~valid_color
             colors[new] = c[new]
@@ -347,6 +365,11 @@ class SlamSystem:
         jm = jnp.asarray(mask)
         jp = jnp.asarray(pts_w)
         jc = jnp.asarray(colors)
+        if cfg.save_merged_pc:
+            keep = np.asarray(tf.voxel_down_sample_mask(
+                jp, jm, cfg.vox_down_m * 2.0))
+            self._merged_pc.append(np.concatenate(
+                [pts_w[keep], colors[keep]], axis=1).astype(np.float32))
         thre = cfg.local_map_travel_dist_ratio * cfg.local_map_radius
         self.m = npm.insert_points(
             self.m, jp, jc, jm,

@@ -141,3 +141,11 @@ def quat_xyzw_to_rotmat(q: np.ndarray) -> np.ndarray:
 
 def rotation_angle_deg(R: np.ndarray) -> float:
     return float(np.degrees(np.linalg.norm(so3_log(R))))
+
+
+def slerp_pose(T0: np.ndarray, T1: np.ndarray, t: float) -> np.ndarray:
+    """Interpolate (or extrapolate, t outside [0,1]) between two SE(3)
+    poses on the geodesic: T(t) = T0 @ exp(t * log(T0^-1 T1)).
+    Reference slerp_pose (utils/tools.py:1165-1177)."""
+    xi = se3_log(se3_inv(T0) @ T1)
+    return T0 @ se3_exp(t * xi)

@@ -1,0 +1,211 @@
+"""Tests for the config flags wired in round 2: semantic_on,
+lambda_mono_normal, loop_with_feature.
+
+Reference behaviors: semantic NLL in sdf_mapping (utils/mapper.py:906-916),
+mono-normal prior loss in joint_gsdf_mapping (mapper.py:1302-1309),
+feature-augmented scan contexts (loop_detector.py:461-506)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pings_tpu.config import Config
+from pings_tpu.mapping import pool as rp, sdf_mapper
+from pings_tpu.mapping.sampler import sample_rays
+from pings_tpu.models import decoder as dec, field, neural_points as npm
+from pings_tpu.slam import loop_detector as ld
+
+
+def two_plane_scan(rng, n):
+    """Two plane patches with distinct semantic classes: floor (z=0,
+    class 1) and wall (x=0, class 2), seen from (3, 1.5, 2)."""
+    per = n // 2
+    u = rng.uniform(0.3, 3.0, (per, 2))
+    floor = np.stack([u[:, 0], u[:, 1], np.zeros(per)], -1)
+    wall = np.stack([np.zeros(per), u[:, 0], u[:, 1]], -1)
+    pts = np.concatenate([floor, wall]).astype(np.float32)
+    sem = np.concatenate([np.full(per, 1), np.full(per, 2)]).astype(np.int32)
+    return pts, sem
+
+
+class TestSemanticMapping:
+    def test_sem_nll_trains_and_classifies(self, rng):
+        cfg = Config.load(overrides=dict(
+            max_points=16384, buffer_size=1 << 16, voxel_size_m=0.3,
+            feature_dim=8, color_feature_dim=8, bs=1024,
+            geo_mlp_hidden_dim=32, color_mlp_hidden_dim=32,
+            sem_mlp_hidden_dim=32, sem_class_count=8,
+            pool_capacity=1 << 15, lr=0.02, lr_mlp_base=2e-3,
+            semantic_on=True, weight_s=0.5,
+        ))
+        pts, sem = two_plane_scan(rng, 3000)
+        origin = np.array([3.0, 1.5, 2.0], np.float32)
+        m = npm.init_map(cfg)
+        decoders = dec.init_decoders(jax.random.PRNGKey(0), cfg)
+        mask = jnp.ones(len(pts), bool)
+        m = npm.insert_points(
+            m, jnp.asarray(pts), jnp.full((len(pts), 3), 0.5), mask,
+            jnp.tile(jnp.array([1.0, 0, 0, 0]), (len(pts), 1)),
+            jnp.int32(0), jnp.zeros(8), jnp.float32(1e9))
+        pool = rp.init_pool(cfg.pool_capacity)
+        s = sample_rays(jax.random.PRNGKey(1), jnp.asarray(pts),
+                        jnp.full((len(pts), 3), 0.5), mask,
+                        jnp.asarray(origin), sem_labels=jnp.asarray(sem))
+        # surface samples inherit the endpoint class; free ones get 0
+        n_surf = int(jnp.sum((s.sem_label > 0) & s.valid))
+        n_free = int(jnp.sum((s.sem_label == 0) & s.valid))
+        assert n_surf > 0 and n_free > 0
+        pool = rp.pool_insert(pool, s, jnp.int32(0), jax.random.PRNGKey(2))
+
+        opt, params, ost = sdf_mapper.init_sdf_train(m, decoders, cfg)
+        assert "sem" in params  # sem decoder trains when semantic_on
+        step = sdf_mapper.make_sdf_step(cfg, opt)
+        first = None
+        for i in range(150):
+            b = rp.pool_batch(pool, jax.random.PRNGKey(100 + i), cfg.bs, 256)
+            params, ost, met = step(params, ost, b, m, decoders,
+                                    jnp.asarray(False))
+            if first is None:
+                first = float(met.sem)
+        assert float(met.sem) < first * 0.6, (first, float(met.sem))
+
+        m, decoders = sdf_mapper.apply_sdf_params(m, decoders, params)
+        probes = jnp.asarray(np.array([[1.5, 1.5, 0.0],   # floor -> 1
+                                       [0.0, 1.5, 1.5]],  # wall -> 2
+                                      np.float32))
+        log_prob, valid = field.sem_at(m, decoders, probes)
+        assert bool(valid.all())
+        pred = np.asarray(jnp.argmax(log_prob, -1))
+        assert pred[0] == 1 and pred[1] == 2, pred
+
+    def test_unlabeled_rays_do_not_engage_sem_loss(self, rng):
+        cfg = Config.load(overrides=dict(
+            max_points=4096, buffer_size=1 << 14, voxel_size_m=0.3,
+            feature_dim=8, color_feature_dim=8, bs=256,
+            geo_mlp_hidden_dim=16, color_mlp_hidden_dim=16,
+            sem_mlp_hidden_dim=16, pool_capacity=1 << 12,
+            semantic_on=True,
+        ))
+        pts, _ = two_plane_scan(rng, 400)
+        m = npm.init_map(cfg)
+        decoders = dec.init_decoders(jax.random.PRNGKey(0), cfg)
+        mask = jnp.ones(len(pts), bool)
+        m = npm.insert_points(
+            m, jnp.asarray(pts), jnp.full((len(pts), 3), 0.5), mask,
+            jnp.tile(jnp.array([1.0, 0, 0, 0]), (len(pts), 1)),
+            jnp.int32(0), jnp.zeros(8), jnp.float32(1e9))
+        pool = rp.init_pool(cfg.pool_capacity)
+        s = sample_rays(jax.random.PRNGKey(1), jnp.asarray(pts),
+                        jnp.full((len(pts), 3), 0.5), mask,
+                        jnp.zeros(3))   # no sem_labels -> -1 everywhere
+        assert int(jnp.sum(s.sem_label >= 0)) == 0
+        pool = rp.pool_insert(pool, s, jnp.int32(0), jax.random.PRNGKey(2))
+        opt, params, ost = sdf_mapper.init_sdf_train(m, decoders, cfg)
+        step = sdf_mapper.make_sdf_step(cfg, opt)
+        b = rp.pool_batch(pool, jax.random.PRNGKey(3), cfg.bs, 64)
+        _, _, met = step(params, ost, b, m, decoders, jnp.asarray(False))
+        assert float(met.sem) == 0.0
+
+
+class TestLoopWithFeature:
+    def _cloud(self, rng):
+        n = 1500
+        ang = rng.uniform(0, 2 * np.pi, n)
+        r = rng.uniform(3, 25, n)
+        z = rng.uniform(0, 4, n) * (np.sin(3 * ang) > 0)
+        return np.stack([r * np.cos(ang), r * np.sin(ang), z],
+                        -1).astype(np.float32)
+
+    def test_feature_context_detects_revisit(self, rng):
+        cfg = Config.load(overrides=dict(loop_with_feature=True))
+        mgr = ld.ScanContextManager(cfg)
+        assert mgr.with_feature
+        cloud = self._cloud(rng)
+        feats = np.tanh(cloud[:, :1] * 0.2 + cloud[:, 1:2] * 0.1
+                        + np.arange(8)[None] * 0.01).astype(np.float32)
+        mgr.add_node(0, cloud, feats=feats)
+        assert mgr.nodes[0].sc.ndim == 4  # (V, R, S, F)
+        # revisit with a yaw offset: rotate cloud and features together
+        yaw = np.radians(30)
+        R = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                      [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]])
+        cloud2 = (cloud @ R.T).astype(np.float32)
+        hit = mgr.detect_global_loop(cloud2, cur_frame_id=100, feats=feats)
+        assert hit is not None
+        fid, dist, yaw_est, side = hit
+        assert fid == 0
+        # yaw recovered to within one sector (2pi/60)
+        err = abs((yaw_est - (-yaw) + np.pi) % (2 * np.pi) - np.pi)
+        assert min(err, abs(err - 2 * np.pi)) < 0.25 or \
+            abs((yaw_est - yaw + np.pi) % (2 * np.pi) - np.pi) < 0.25
+
+    def test_different_place_rejected(self, rng):
+        cfg = Config.load(overrides=dict(loop_with_feature=True))
+        mgr = ld.ScanContextManager(cfg)
+        cloud = self._cloud(rng)
+        feats = np.tanh(cloud * 0.3)[:, :3].astype(np.float32)
+        mgr.add_node(0, cloud, feats=feats)
+        other = self._cloud(np.random.default_rng(99))
+        other[:, 2] = 3.0 - other[:, 2]
+        ofeat = -np.tanh(other * 0.1)[:, :3].astype(np.float32)
+        hit = mgr.detect_global_loop(other, cur_frame_id=100, feats=ofeat)
+        assert hit is None or hit[1] > 0.05
+
+
+class TestMonoNormalLoss:
+    def test_flag_engages_in_gs_step(self, rng):
+        """lambda_mono_normal > 0 changes the GS training loss on a frame
+        with a dense prior depth map (prior normal from D2N of it)."""
+        from pings_tpu.mapping import gs_mapper
+        from pings_tpu.mapping.campool import CamPool
+        from pings_tpu.models.renderer import CamView
+        from tests.test_gs_mapping import raycast_target, sphere_color, W, H, KMAT
+
+        def build(lmn):
+            return Config.load(overrides=dict(
+                max_points=4096, buffer_size=1 << 14, voxel_size_m=0.2,
+                feature_dim=8, color_feature_dim=8, bs=256,
+                geo_mlp_hidden_dim=16, color_mlp_hidden_dim=16,
+                gaussian_mlp_hidden_dim=16, pool_capacity=1 << 12,
+                spawn_n_gaussian=2, gs_sdf_sample_count=64,
+                max_gs_per_tile=64, tile_size=16, gradient_decimation=10,
+                sky_on=False, lambda_mono_normal=lmn, max_range=20.0,
+            ))
+
+        rng_ = np.random.default_rng(0)
+        rgb_t, depth_t, hit, pts_w, origin = raycast_target()
+        sub = rng_.choice(len(pts_w), size=500, replace=False)
+        scan = pts_w[sub]
+        totals = {}
+        for lmn in (0.0, 0.5):
+            cfg = build(lmn)
+            m = npm.init_map(cfg)
+            decoders = dec.init_decoders(jax.random.PRNGKey(0), cfg)
+            m = npm.insert_points(
+                m, jnp.asarray(scan), jnp.asarray(sphere_color(scan),
+                                                  jnp.float32),
+                jnp.ones(len(scan), bool),
+                jnp.tile(jnp.array([1.0, 0, 0, 0]), (len(scan), 1)),
+                jnp.int32(0), jnp.zeros(8), jnp.float32(1e9))
+            cam = CamView(K=jnp.asarray(KMAT), T_c_w=jnp.eye(4),
+                          rgb=jnp.asarray(rgb_t), depth=jnp.asarray(depth_t),
+                          sky=jnp.zeros((H, W)), frame_id=jnp.int32(0))
+            cpool = CamPool(cfg)
+            exposure, cam_delta = cpool.init_param_pools()
+            slot = cpool.add_keyframe(cam, origin, 0)
+            L = 512
+            local_idx = jnp.nonzero(m.valid_mask, size=L,
+                                    fill_value=m.capacity)[0]
+            opt = gs_mapper.make_gs_optimizer(cfg)
+            params = gs_mapper.gs_params(m, decoders, exposure, cam_delta)
+            ost = opt.init(params)
+            step = gs_mapper.make_gsdf_step(cfg, opt, W, H, L)
+            sdf_batch = (jnp.asarray(scan[:cfg.bs]),
+                         jnp.zeros(cfg.bs), jnp.zeros((cfg.bs, 3)),
+                         jnp.ones(cfg.bs), jnp.ones(cfg.bs, bool))
+            _, _, met = step(params, ost, m, decoders, local_idx, cam,
+                             jnp.int32(slot), sdf_batch, jnp.asarray(False))
+            totals[lmn] = float(met.total)
+        assert np.isfinite(list(totals.values())).all()
+        assert totals[0.5] != totals[0.0], totals

@@ -158,3 +158,28 @@ class TestMesher:
             write_ply(p, verts, tris, colors)
             head = open(p).read(200)
             assert head.startswith("ply") and "element vertex" in head
+
+
+class TestIsolatedClusterFilter:
+    def test_small_components_dropped(self):
+        from pings_tpu.slam.mesher import filter_isolated_clusters
+
+        # big grid patch (many tris) + a far lone triangle
+        xs, ys = np.meshgrid(np.arange(5), np.arange(5))
+        v_big = np.stack([xs.ravel(), ys.ravel(),
+                          np.zeros(25)], -1).astype(np.float32)
+        tris = []
+        for r in range(4):
+            for c in range(4):
+                i = r * 5 + c
+                tris.append([i, i + 1, i + 5])
+                tris.append([i + 1, i + 6, i + 5])
+        v_lone = np.array([[50, 50, 0], [51, 50, 0], [50, 51, 0]],
+                          np.float32)
+        verts = np.concatenate([v_big, v_lone])
+        tris = np.array(tris + [[25, 26, 27]], np.int32)
+        cols = np.ones((len(verts), 3), np.float32)
+        v2, t2, c2 = filter_isolated_clusters(verts, tris, cols, min_tri=5)
+        assert len(t2) == 32 and len(v2) == 25
+        assert c2.shape == (25, 3)
+        assert t2.max() < len(v2)
