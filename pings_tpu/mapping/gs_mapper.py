@@ -50,6 +50,7 @@ class GsStepMetrics(NamedTuple):
     sdf_bce: jnp.ndarray
     psnr: jnp.ndarray
     n_overflow: jnp.ndarray
+    nonfinite: jnp.ndarray = False
 
 
 def gs_param_labels() -> Dict[str, str]:
@@ -279,6 +280,9 @@ def make_gsdf_step(cfg, optimizer, width: int, height: int,
                 lambda x: jnp.where(freeze_geo, jnp.zeros_like(x), x),
                 grads[kk]) for kk in freeze_keys},
         }
+        from pings_tpu.mapping.sdf_mapper import guard_nonfinite
+        grads, nonfinite = guard_nonfinite(grads)
+        metrics = metrics._replace(nonfinite=nonfinite)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics

@@ -99,6 +99,21 @@ class SdfStepMetrics(NamedTuple):
     eikonal: jnp.ndarray
     color: jnp.ndarray
     sem: jnp.ndarray
+    nonfinite: jnp.ndarray = False
+
+
+def guard_nonfinite(grads):
+    """Zero the whole gradient pytree if ANY entry is non-finite.
+
+    One bad iteration (inf/NaN from a degenerate batch) would otherwise
+    poison the map and decoders permanently — the reference survives by
+    luck of torch semantics; here the step is explicitly skipped and the
+    event surfaced in metrics (SURVEY §5 failure-detection parity)."""
+    finite = jnp.all(jnp.stack(
+        [jnp.all(jnp.isfinite(x)) for x in jax.tree.leaves(grads)]))
+    grads = jax.tree.map(
+        lambda x: jnp.where(finite, x, jnp.zeros_like(x)), grads)
+    return grads, ~finite
 
 
 def make_sdf_step(cfg, optimizer: optax.GradientTransformation):
@@ -171,6 +186,8 @@ def make_sdf_step(cfg, optimizer: optax.GradientTransformation):
             lambda x: jnp.where(freeze, jnp.zeros_like(x), x), g)
         grads = {**grads, **{name: zero_mlp(grads[name]) for name in
                              ("sdf", "color", "sem") if name in grads}}
+        grads, nonfinite = guard_nonfinite(grads)
+        metrics = metrics._replace(nonfinite=nonfinite)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics

@@ -151,32 +151,38 @@ def _bf16_split(x):
     return hi, lo
 
 
-def _tri_matmul(tri, x):
-    """tri (bf16-exact) @ x via two one-pass bf16 dots (f32 accumulate)."""
-    xh, xl = _bf16_split(x)
+def _tri_matmul(tri, x, fast: bool = False):
+    """tri (bf16-exact) @ x via two one-pass bf16 dots (f32 accumulate);
+    fast = one single-pass bf16 dot (~2^-8 relative error)."""
     d = lambda u: jax.lax.dot_general(
         tri, u, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+    if fast:
+        return d(x.astype(jnp.bfloat16))
+    xh, xl = _bf16_split(x)
     return d(xh) + d(xl)
 
 
-def _split_dot(a, b, dims):
+def _split_dot(a, b, dims, fast: bool = False):
     """a @ b with both operands bf16-split: three one-pass bf16 dots
-    (hh + hl + lh; the ll term is below 2^-18 relative)."""
-    ah, al = _bf16_split(a)
-    bh, bl = _bf16_split(b)
+    (hh + hl + lh; the ll term is below 2^-18 relative). fast = one
+    single-pass bf16 dot."""
     d = lambda u, v: jax.lax.dot_general(
         u, v, (dims, ((), ())), preferred_element_type=jnp.float32)
+    if fast:
+        return d(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
+    ah, al = _bf16_split(a)
+    bh, bl = _bf16_split(b)
     return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
-def _excl_prod(one_m, tri_s):
+def _excl_prod(one_m, tri_s, fast: bool = False):
     """Exclusive prefix product along sublanes via one triangular MXU
     matmul in log space. one_m in [1e-3, 1] (alpha clamps at 0.999)
     keeps the log bounded; where transmittance is non-negligible the
     summed log is O(10), so the exp round-trip error is ~1e-6 relative
     (the all-roll ladder this replaces was ~2x slower end to end)."""
-    return jnp.exp(_tri_matmul(tri_s, jnp.log(one_m)))
+    return jnp.exp(_tri_matmul(tri_s, jnp.log(one_m), fast))
 
 
 def _super_alpha(chunk, px, py):
@@ -193,7 +199,7 @@ def _super_alpha(chunk, px, py):
 
 
 def _fwd_kernel(counts_ref, attrs_ref, out_ref, trans_ref, *, ntx: int,
-                tile: int, kmax: int, sup: int, gtiles: int):
+                tile: int, kmax: int, sup: int, gtiles: int, fast: bool):
     """Blend ``gtiles`` tiles per grid step: each grid step costs a fixed
     ~2 us of pipeline overhead on v5e (3600 single-tile steps = ~7 ms of
     pure dispatch), so tiles are batched per step and unrolled."""
@@ -214,10 +220,10 @@ def _fwd_kernel(counts_ref, attrs_ref, out_ref, trans_ref, *, ntx: int,
                 chunk = attrs_ref[g, pl.ds(k0, sb), :]      # (sb, 16)
                 alpha, _, _, _, _ = _super_alpha(chunk, px, py)
                 one_m = 1.0 - alpha
-                excl = _excl_prod(one_m, tri_s)             # (sb, P)
+                excl = _excl_prod(one_m, tri_s, fast)       # (sb, P)
                 w = alpha * excl * trans                    # blend weights
                 # acc (16, P) += chunk^T @ w on the MXU
-                acc2 = acc + _split_dot(chunk, w, ((0,), (0,)))
+                acc2 = acc + _split_dot(chunk, w, ((0,), (0,)), fast)
                 trans2 = trans * (excl[sb - 1:sb, :]
                                   * one_m[sb - 1:sb, :])
                 return acc2, trans2
@@ -240,7 +246,7 @@ def _lane_onehot(c: int):
 
 def _bwd_kernel(counts_ref, attrs_ref, gout_ref, gtrans_ref, rho_ref,
                 transf_ref, dattrs_ref, *, ntx: int, tile: int, kmax: int,
-                sup: int, gtiles: int):
+                sup: int, gtiles: int, fast: bool):
     """Analytic backward, single front-to-back pass with the suffix
     identity
         dL/da_i(p) = T_i phi_i - (rho - sigma_i) / (1 - a_i)
@@ -257,12 +263,12 @@ def _bwd_kernel(counts_ref, attrs_ref, gout_ref, gtrans_ref, rho_ref,
     for gi_ in range(gtiles):
         _bwd_tile(counts_ref, attrs_ref, gout_ref, gtrans_ref, rho_ref,
                   transf_ref, dattrs_ref, gi_, ntx, tile, kmax, sb, tri_s,
-                  tri_i)
+                  tri_i, fast)
 
 
 def _bwd_tile(counts_ref, attrs_ref, gout_ref, gtrans_ref, rho_ref,
               transf_ref, dattrs_ref, gi_, ntx, tile, kmax, sb, tri_s,
-              tri_i):
+              tri_i, fast):
     P = tile * tile
     gtiles = gout_ref.shape[0]
     t = pl.program_id(0) * gtiles + gi_
@@ -282,13 +288,13 @@ def _bwd_tile(counts_ref, attrs_ref, gout_ref, gtrans_ref, rho_ref,
             alpha, dx, dy, q, unclamped = _super_alpha(chunk, px, py)
             one_m = 1.0 - alpha
             one_m_safe = jnp.maximum(one_m, 1e-3)
-            excl = _excl_prod(one_m, tri_s)
+            excl = _excl_prod(one_m, tri_s, fast)
             T_i = excl * trans                               # (sb, P)
             w = alpha * T_i
             # phi (sb, P) = chunk @ g on the MXU
-            phi = _split_dot(chunk, g, ((1,), (0,)))
+            phi = _split_dot(chunk, g, ((1,), (0,)), fast)
             # inclusive prefix sum of w*phi as one triangular MXU matmul
-            sigma_i = sigma + _tri_matmul(tri_i, w * phi)    # (sb, P)
+            sigma_i = sigma + _tri_matmul(tri_i, w * phi, fast)  # (sb, P)
             da = (phi * T_i - (rho - sigma_i) / one_m_safe
                   - g_trans * trans_final / one_m_safe)
             active = alpha > 0.0
@@ -312,7 +318,7 @@ def _bwd_tile(counts_ref, attrs_ref, gout_ref, gtrans_ref, rho_ref,
             # column 7 is the constant-1 alpha row (gradient dropped by
             # the attr-matrix vjp), columns 8-13 add the geometry grads
             # as one-hot outer products (no partial stores).
-            d_chunk = _split_dot(w, g, ((1,), (1,)))
+            d_chunk = _split_dot(w, g, ((1,), (1,)), fast)
             d_chunk = (d_chunk
                        + dmux * _lane_onehot(8) + dmuy * _lane_onehot(9)
                        + dA * _lane_onehot(10) + dB * _lane_onehot(11)
@@ -343,12 +349,13 @@ def _grid_tiles(T: int) -> int:
     return 1
 
 
-def _blend_fwd_call(attrs, counts, ntx, nty, tile, sup):
+def _blend_fwd_call(attrs, counts, ntx, nty, tile, sup,
+                    fast: bool = False):
     T, kmax, _ = attrs.shape
     P = tile * tile
     G = _grid_tiles(T)
     kern = functools.partial(_fwd_kernel, ntx=ntx, tile=tile, kmax=kmax,
-                             sup=sup, gtiles=G)
+                             sup=sup, gtiles=G, fast=fast)
     out, trans = pl.pallas_call(
         kern,
         grid=(T // G,),
@@ -372,12 +379,12 @@ def _blend_fwd_call(attrs, counts, ntx, nty, tile, sup):
 
 
 def _blend_bwd_call(attrs, counts, g_out, g_trans, rho, trans_final, ntx,
-                    nty, tile, sup):
+                    nty, tile, sup, fast: bool = False):
     T, kmax, _ = attrs.shape
     P = tile * tile
     G = _grid_tiles(T)
     kern = functools.partial(_bwd_kernel, ntx=ntx, tile=tile, kmax=kmax,
-                             sup=sup, gtiles=G)
+                             sup=sup, gtiles=G, fast=fast)
     specs_p = lambda c: pl.BlockSpec((G, c, P), lambda t: (t, 0, 0),
                                      memory_space=pltpu.VMEM)
     dattrs = pl.pallas_call(
@@ -397,35 +404,107 @@ def _blend_bwd_call(attrs, counts, g_out, g_trans, rho, trans_final, ntx,
     return dattrs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def _blend_gaussians(attr16, bins: TileBins, ntx: int, nty: int,
-                     tile: int, sup: int, small_span: int, max_span: int):
+                     tile: int, sup: int, small_span: int, max_span: int,
+                     fast: bool = False):
     """(N, 16) attrs + bins -> (T, 16, P) blended channels, (T, 1, P)
     final transmittance. One custom_vjp over pack+blend so the backward
     aggregates per-slot grads with a single collision-free scatter-set."""
     attrs = _pack_table(attr16, bins)
-    return _blend_fwd_call(attrs, bins.counts, ntx, nty, tile, sup)
+    return _blend_fwd_call(attrs, bins.counts, ntx, nty, tile, sup, fast)
 
 
-def _blend_g_fwd(attr16, bins, ntx, nty, tile, sup, small_span, max_span):
+def _blend_g_fwd(attr16, bins, ntx, nty, tile, sup, small_span, max_span,
+                 fast=False):
     attrs = _pack_table(attr16, bins)
-    out, trans = _blend_fwd_call(attrs, bins.counts, ntx, nty, tile, sup)
+    out, trans = _blend_fwd_call(attrs, bins.counts, ntx, nty, tile, sup,
+                                 fast)
     return (out, trans), (attrs, bins, out, trans, attr16.shape[0])
 
 
-def _blend_g_bwd(ntx, nty, tile, sup, small_span, max_span, res,
+def _blend_g_bwd(ntx, nty, tile, sup, small_span, max_span, fast, res,
                  cotangents):
     attrs, bins, out, trans, n = res
     g_out, g_trans = cotangents
     # rho(p) = sum_c g_c O_c — free from the saved outputs
     rho = jnp.sum(g_out * out, axis=1, keepdims=True)     # (T, 1, P)
     dtable = _blend_bwd_call(attrs, bins.counts, g_out, g_trans, rho,
-                             trans, ntx, nty, tile, sup)
+                             trans, ntx, nty, tile, sup, fast)
     d_attr16 = _unpack_grads(dtable, bins, n)
     return (d_attr16, None)
 
 
 _blend_gaussians.defvjp(_blend_g_fwd, _blend_g_bwd)
+
+
+def _contrib_kernel(counts_ref, attrs_ref, contrib_ref, *, ntx: int,
+                    tile: int, kmax: int, sup: int, gtiles: int):
+    """Per-slot summed blend weights (T, Kmax): contribution of every
+    table slot to its tile (reference rasterizer's per-Gaussian
+    ``contributions``, gaussian_renderer/__init__.py:313-347, used to
+    gate the GS-SDF consistency loss at mapper.py:1364-1366).
+    Forward-only; aggregated per gaussian by one scatter-add outside."""
+    P = tile * tile
+    sb = _superblock(kmax, sup)
+    tri_s = _tri(True, sb)
+    for g in range(gtiles):
+        t = pl.program_id(0) * gtiles + g
+        px, py = _pixel_grid(t, ntx, tile)
+        cnt = counts_ref[t]
+
+        def super_body(j, trans, g=g, px=px, py=py, cnt=cnt):
+            k0 = pl.multiple_of(j * sb, sb)
+
+            def compute(tr):
+                chunk = attrs_ref[g, pl.ds(k0, sb), :]
+                alpha, _, _, _, _ = _super_alpha(chunk, px, py)
+                one_m = 1.0 - alpha
+                excl = _excl_prod(one_m, tri_s, True)
+                w = alpha * excl * tr
+                contrib_ref[g, pl.ds(k0, sb)] = jnp.sum(w, axis=1)
+                return tr * (excl[sb - 1:sb, :] * one_m[sb - 1:sb, :])
+
+            def skip(tr):
+                contrib_ref[g, pl.ds(k0, sb)] = jnp.zeros((sb,), jnp.float32)
+                return tr
+
+            live = (jnp.max(trans) > TRANS_EPS) & (j * sb < cnt)
+            return jax.lax.cond(live, compute, skip, trans)
+
+        jax.lax.fori_loop(0, kmax // sb, super_body,
+                          jnp.ones((1, P), jnp.float32))
+
+
+def blend_contributions(p: ProjectedGaussians, bins: TileBins,
+                        width: int, height: int, tile: int = 16,
+                        superblock: int = 64) -> jnp.ndarray:
+    """(N,) summed blend weight per gaussian over all pixels."""
+    ntx = (width + tile - 1) // tile
+    nty = (height + tile - 1) // tile
+    T = ntx * nty
+    n = p.means2d.shape[0]
+    attr16 = jax.lax.stop_gradient(gauss_attr_matrix(p))
+    attrs = _pack_table(attr16, bins)
+    kmax = attrs.shape[1]
+    G = _grid_tiles(T)
+    kern = functools.partial(_contrib_kernel, ntx=ntx, tile=tile,
+                             kmax=kmax, sup=superblock, gtiles=G)
+    ctbl = pl.pallas_call(
+        kern,
+        grid=(T // G,),
+        in_specs=[pl.BlockSpec((T,), lambda t: (0,),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((G, kmax, NCH), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((G, kmax), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, kmax), jnp.float32),
+        interpret=INTERPRET,
+    )(bins.counts, attrs)
+    idx = jnp.minimum(bins.gauss_tbl.reshape(-1), n - 1)
+    flat = jnp.where(bins.mask.reshape(-1), ctbl.reshape(-1), 0.0)
+    return jnp.zeros((n,)).at[idx].add(flat)
 
 
 # ---------------------------------------------------------------------------
@@ -438,13 +517,18 @@ def rasterize_pallas(
     theta=None, rho=None, bg=None,
     tile: int = 16, max_span: int = 36, max_per_tile: int = 512,
     normalize_depth: bool = True, superblock: int = SUPER,
+    precision: str = "high", with_contrib: bool = False,
 ) -> RenderOutput:
     """Drop-in rasterize() with the fused Pallas blend. Forward output
     matches ops.rasterize.rasterize; gradients flow to all gaussian
     parameters and (theta, rho). max_per_tile must be divisible by a
     power-of-two superblock >= 8. ``superblock`` sets the blend-loop
     granularity: smaller blocks terminate earlier on saturated tiles
-    (transmittance < TRANS_EPS) at the cost of smaller MXU tiles."""
+    (transmittance < TRANS_EPS) at the cost of smaller MXU tiles.
+    ``precision``: "high" = two/three-pass bf16-split MXU dots (~f32,
+    default, what the parity tests pin); "fast" = single-pass bf16 dots
+    (~2^-8 relative blend error — smaller than the CUDA reference's own
+    run-to-run nondeterminism of +-0.1-0.3 PSNR, utils/mapper.py:1702)."""
     _superblock(max_per_tile, superblock)   # validates divisibility
     if theta is not None:
         T_c_w = apply_pose_delta(T_c_w, theta, rho)
@@ -460,7 +544,8 @@ def rasterize_pallas(
     nty = (height + tile - 1) // tile
     attr16 = gauss_attr_matrix(p)
     out, trans = _blend_gaussians(attr16, bins, ntx, nty, tile,
-                                  superblock, min(9, max_span), max_span)
+                                  superblock, min(9, max_span), max_span,
+                                  precision == "fast")
 
     def untile(x):   # (T, C, P) -> (H, W, C)
         c = x.shape[1]
@@ -474,8 +559,11 @@ def rasterize_pallas(
     alpha = img[..., 7]
     depth = img[..., 3]
     if normalize_depth:
-        depth = depth / jnp.maximum(alpha, 1e-6)
+        depth = depth / jnp.maximum(alpha, 0.05)  # see blend_tiles note
     normal = img[..., 4:7]
+    contrib = (blend_contributions(p_struct, bins, width, height,
+                                   tile=tile, superblock=superblock)
+               if with_contrib else jnp.zeros(means3d.shape[0]))
     return RenderOutput(rgb=rgb, depth=depth, alpha=alpha, normal=normal,
-                        contrib=jnp.zeros(means3d.shape[0]),
+                        contrib=contrib,
                         n_overflow=bins.n_overflow)

@@ -497,7 +497,13 @@ def blend_tiles(
 
     rgb = rgb + trans[..., None] * bg
     if normalize_depth:
-        d = d / jnp.maximum(a, 1e-6)
+        # 0.05 floor: pixels below 5% coverage have meaningless depth
+        # anyway (every depth loss/eval gates at alpha > 0.5), and a
+        # 1e-6 floor makes d(depth)/d(acc) a ~1e6 gradient amplifier at
+        # empty pixels — the D2N consistency loss reads neighboring
+        # pixels' depths through rolls, so those NaN/inf-scale gradients
+        # leak into the blend backward and can diverge long runs.
+        d = d / jnp.maximum(a, 0.05)
 
     def untile(x):
         # (T, P, ...) -> (H, W, ...)
@@ -745,7 +751,7 @@ def blend_tiles_surfel(
 
     rgb = rgb + trans[..., None] * bg
     if normalize_depth:
-        d = d / jnp.maximum(a, 1e-6)
+        d = d / jnp.maximum(a, 0.05)   # see blend_tiles note
 
     def untile(x):
         x = x.reshape(nty, ntx, tile, tile, -1)

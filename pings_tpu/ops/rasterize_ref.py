@@ -68,7 +68,7 @@ def rasterize_ref(
     trans = cp[-1]
     rgb = rgb + trans[:, None] * bg
     if normalize_depth:
-        d = d / jnp.maximum(a, 1e-6)
+        d = d / jnp.maximum(a, 0.05)   # same floor as blend_tiles
 
     contrib_sorted = w.sum(-1)
     contrib = jnp.zeros(n).at[order].set(contrib_sorted)

@@ -527,6 +527,7 @@ class SlamSystem:
         from pings_tpu.models.renderer import downsample_cam
         base_level = max(int(self.cfg.train_img_downrate).bit_length() - 1,
                          0)
+        n_nonfinite = 0
         for it in range(gs_iters):
             pc = self.campool.sample()
             if pc is None:
@@ -549,11 +550,16 @@ class SlamSystem:
                 cam, jnp.int32(pc.slot), batch, freeze,
                 surrounding=surrounding, depth_w=jnp.float32(depth_w))
             self._gs[1], self._gs[2] = params, state
+            n_nonfinite += int(met.nonfinite)
         if met is not None:
             self._apply_gs_params()
             rep.metrics["gs_psnr"] = float(met.psnr)
             rep.metrics["gs_l1"] = float(met.rgb_l1)
             rep.metrics["sdf_bce"] = float(met.sdf_bce)
+            if n_nonfinite:
+                # skipped updates (non-finite gradients) — surfaced like
+                # the reference's tracking-health warnings
+                rep.metrics["gs_nonfinite_steps"] = n_nonfinite
 
         # Gaussian invalidation: stable local points stranded off the SDF
         # zero level set stop spawning (reference

@@ -82,3 +82,19 @@ class TestPallasBackward:
         for n_, a, b in zip(names, g_p, g_x):
             np.testing.assert_allclose(a, b, atol=5e-4, rtol=2e-3,
                                        err_msg=n_)
+
+
+def test_contributions_match_xla(rng):
+    """Pallas per-gaussian contributions vs the XLA blend's with_contrib."""
+    scene = make_scene(rng, 48)
+    out_x = rz.rasterize(*scene, T_IDENT, K, W, H, max_per_tile=64,
+                         with_contrib=True)
+    from pings_tpu.ops.rasterize import bin_gaussians, project_gaussians
+    p = project_gaussians(*scene, T_IDENT, K, W, H)
+    import jax
+    bins = bin_gaussians(jax.tree.map(jax.lax.stop_gradient, p), W, H,
+                         max_per_tile=64)
+    c = rp.blend_contributions(p, bins, W, H)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(out_x.contrib),
+                               atol=1e-3, rtol=1e-3)
+    assert float(jnp.sum(c)) > 0
