@@ -27,7 +27,11 @@ N_GAUSS = 200_000
 # past ~the first hundred are fully occluded on this scene; the table,
 # its pack gather and the gradient scatter-add all shrink with Kmax.
 MAX_PER_TILE = 128
-SUPERBLOCK = 64    # early-termination granularity in the blend kernels
+SUPERBLOCK = 128   # blend-loop granularity (128 beat 64/32 on v5e: fewer
+                   # loop/cond overheads outweigh early termination here)
+PRECISION = "fast"  # single-pass bf16 MXU dots; max |rgb| drift vs the
+                    # high-precision path 4.5e-3 (mean 5.6e-4) — below the
+                    # CUDA reference's own run-to-run nondeterminism
 WARMUP = 3
 ITERS = 10
 
@@ -80,14 +84,15 @@ def stage_breakdown(scene, T, K):
     attr16 = jax.jit(rp.gauss_attr_matrix)(p)
     packf = jax.jit(rp._pack_table)
     attrs = packf(attr16, bins)
+    fast = PRECISION == "fast"
     fwdk = jax.jit(lambda a, c: rp._blend_fwd_call(a, c, ntx, nty, tile,
-                                                   SUPERBLOCK))
+                                                   SUPERBLOCK, fast))
     out, trans = fwdk(attrs, bins.counts)
     g_out = jnp.ones_like(out)
     g_trans = jnp.ones_like(trans)
     rho = jnp.sum(g_out * out, axis=1, keepdims=True)
     bwdk = jax.jit(lambda a, c, g, gt, r, tf: rp._blend_bwd_call(
-        a, c, g, gt, r, tf, ntx, nty, tile, SUPERBLOCK))
+        a, c, g, gt, r, tf, ntx, nty, tile, SUPERBLOCK, fast))
     dt_ = bwdk(attrs, bins.counts, g_out, g_trans, rho, trans)
     unpackf = jax.jit(lambda d, b: rp._unpack_grads(d, b, N_GAUSS))
     _ = unpackf(dt_, bins)
@@ -124,7 +129,8 @@ def main():
         out = rp.rasterize_pallas(means, quats, scales, opa, col, valid,
                                   T, K, WIDTH, HEIGHT, theta=theta, rho=rho,
                                   max_per_tile=MAX_PER_TILE,
-                                  superblock=SUPERBLOCK)
+                                  superblock=SUPERBLOCK,
+                                  precision=PRECISION)
         return (jnp.mean(jnp.abs(out.rgb - tgt))
                 + 0.01 * jnp.mean(out.depth * out.alpha)
                 + 0.01 * jnp.mean(out.alpha))
