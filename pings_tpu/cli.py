@@ -139,6 +139,16 @@ def run(args) -> dict:
         write_ply_points(os.path.join(run_dir, "merged_point_cloud.ply"),
                          pc[:, :3], pc[:, 3:6])
         results["merged_pc_points"] = len(pc)
+    if cfg.save_tsdf_mesh and system.tsdf_frames:
+        from pings_tpu.slam.mesher import write_ply
+        from pings_tpu.slam.tsdf import fuse_run
+
+        depths, Ks, Tcs, rgbs = zip(*system.tsdf_frames)
+        vol = fuse_run(list(depths), list(Ks), list(Tcs), list(rgbs),
+                       voxel=cfg.tsdf_fusion_voxel_size)
+        v, t, c = vol.extract_mesh()
+        write_ply(os.path.join(run_dir, "tsdf_mesh.ply"), v, t, c)
+        results["tsdf_mesh_verts"] = len(v)
     if args.save_mesh or cfg.save_mesh:
         from pings_tpu.slam.mesher import Mesher, write_ply
 

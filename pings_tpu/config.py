@@ -252,6 +252,10 @@ class Config:
     # drop mesh connected components with fewer triangles (reference
     # min_cluster_vertices=500 gated by filter_isolated_mesh; 0 = off)
     min_cluster_vertices: int = 0
+    # TSDF-fusion mesh of the camera depth maps at end of run (reference
+    # tsdf_fusion_voxel_size, slam_dataset.py:995-1195)
+    save_tsdf_mesh: bool = False
+    tsdf_fusion_voxel_size: float = 0.2
     pad_voxel: int = 2
     skip_top_voxel: int = 0
     mc_mask_on: bool = True

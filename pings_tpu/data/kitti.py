@@ -34,6 +34,12 @@ class KittiDataset(BaseDataset):
             glob.glob(os.path.join(seq_dir, "velodyne", "*.bin")))
         self.img_files = sorted(
             glob.glob(os.path.join(seq_dir, "image_2", "*.png")))
+        # SemanticKITTI point labels (reference kitti.py:51-58 detects
+        # labels/*.label; emitted here as the frame's "sem" channel)
+        self.sem_files = sorted(
+            glob.glob(os.path.join(seq_dir, "labels", "*.label")))
+        if len(self.sem_files) != len(self.scan_files):
+            self.sem_files = []
         self.correction_deg = getattr(cfg, "correction_deg", 0.195) \
             if cfg is not None else 0.195
         self.apply_correction = getattr(cfg, "kitti_correction_on", True) \
@@ -121,6 +127,11 @@ class KittiDataset(BaseDataset):
             "points": pts.astype(np.float32),
             "point_ts": self._azimuth_ts(pts),
         }
+        if self.sem_files:
+            # SemanticKITTI .label: u32 per point, class id in low 16 bits
+            lab = np.fromfile(self.sem_files[idx], dtype=np.uint32)
+            if len(lab) == len(pts):
+                out["sem"] = (lab & 0xFFFF).astype(np.int32)
         if idx < len(self.img_files) and self.K is not None:
             import cv2
 

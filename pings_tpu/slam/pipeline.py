@@ -70,6 +70,8 @@ class SlamSystem:
         # merged world-frame cloud accumulator (reference merged-cloud
         # writer, slam_dataset.py:995-1195), gated by cfg.save_merged_pc
         self._merged_pc: List[np.ndarray] = []
+        # (depth, K, T_c_w, rgb) per keyframe for end-of-run TSDF fusion
+        self.tsdf_frames: List[tuple] = []
         self.mono_provider = None
         if cfg.mono_depth_on:
             from pings_tpu.data.monodepth import make_provider
@@ -337,6 +339,14 @@ class SlamSystem:
         # colorize scan from cameras (reference
         # project_pointcloud_to_cams, pings.py:301)
         valid_color = np.zeros(len(pts_w), bool)
+        if cfg.save_tsdf_mesh and fid % max(cfg.gs_keyframe_interval, 1) == 0:
+            for cam, cd in pre.cams.items():
+                if cd.get("depth") is not None:
+                    self.tsdf_frames.append((
+                        np.asarray(cd["depth"], np.float32),
+                        np.asarray(cd["K"], np.float64),
+                        np.asarray(cd["T_c_l"], np.float64) @ hp.se3_inv(T),
+                        np.asarray(cd["img"])))
         for cam, cd in pre.cams.items():
             # camera shutter offset: slerp the body pose to the camera's
             # timestamp (reference per-camera slerp_pose,

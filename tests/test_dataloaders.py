@@ -277,3 +277,22 @@ def test_waymo_loader(tmp_path, rng):
     fr = ds[0]
     assert fr["points"].shape == (25, 3)
     assert "cam_FRONT" in fr["img"]
+
+
+def test_kitti_semantic_labels(tmp_path):
+    """SemanticKITTI labels/*.label flow into the frame's sem channel."""
+    import numpy as np
+    from pings_tpu.data.kitti import KittiDataset
+
+    seq = tmp_path / "00"
+    (seq / "velodyne").mkdir(parents=True)
+    (seq / "labels").mkdir()
+    pts = np.random.rand(64, 4).astype(np.float32) * 5
+    pts.tofile(seq / "velodyne" / "000000.bin")
+    lab = (np.arange(64, dtype=np.uint32) % 20) | (7 << 16)  # instance bits
+    lab.astype(np.uint32).tofile(seq / "labels" / "000000.label")
+    ds = KittiDataset(str(tmp_path), "00")
+    fr = ds[0]
+    assert "sem" in fr
+    assert fr["sem"].dtype == np.int32
+    np.testing.assert_array_equal(fr["sem"], np.arange(64) % 20)

@@ -183,3 +183,51 @@ class TestIsolatedClusterFilter:
         assert len(t2) == 32 and len(v2) == 25
         assert c2.shape == (25, 3)
         assert t2.max() < len(v2)
+
+
+class TestTsdfFusion:
+    def test_sphere_fusion_mesh(self):
+        """Fuse ray-cast depth maps of a sphere; mesh vertices must lie
+        near the true surface."""
+        from pings_tpu.slam.tsdf import fuse_run
+
+        K = np.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]])
+        W, H = 64, 48
+        center = np.array([0.0, 0, 0])
+        R = 1.0
+        depths, Ks, Ts = [], [], []
+        for ang in np.linspace(0, 2 * np.pi, 8, endpoint=False):
+            eye = center + 3.0 * np.array([np.cos(ang), np.sin(ang), 0.3])
+            fwd = (center - eye)
+            fwd /= np.linalg.norm(fwd)
+            up = np.array([0.0, 0, 1])
+            right = np.cross(fwd, up)
+            right /= np.linalg.norm(right)
+            dn = np.cross(fwd, -right)
+            dn /= np.linalg.norm(dn)
+            R_wc = np.stack([right, -dn, fwd], 1)
+            T_w_c = np.eye(4)
+            T_w_c[:3, :3] = R_wc
+            T_w_c[:3, 3] = eye
+            T_c_w = np.linalg.inv(T_w_c)
+            ys, xs = np.mgrid[0:H, 0:W]
+            d_c = np.stack([(xs + 0.5 - K[0, 2]) / K[0, 0],
+                            (ys + 0.5 - K[1, 2]) / K[1, 1],
+                            np.ones_like(xs, float)], -1)
+            dw = (d_c / np.linalg.norm(d_c, axis=-1, keepdims=True)) \
+                @ R_wc.T
+            oc = eye - center
+            b = dw @ oc
+            c = oc @ oc - R * R
+            disc = b * b - c
+            t = -b - np.sqrt(np.maximum(disc, 0))
+            hit = (disc > 0) & (t > 0.1)
+            zdepth = t * (d_c[..., 2] / np.linalg.norm(d_c, axis=-1))
+            depths.append(np.where(hit, zdepth, 0.0).astype(np.float32))
+            Ks.append(K)
+            Ts.append(T_c_w)
+        vol = fuse_run(depths, Ks, Ts, voxel=0.08)
+        v, t, c = vol.extract_mesh()
+        assert len(v) > 100 and len(t) > 100
+        r_err = np.abs(np.linalg.norm(v - center, axis=1) - R)
+        assert np.median(r_err) < 0.08, np.median(r_err)
