@@ -37,7 +37,6 @@ class Config:
     seed: int = 42
     device: str = "tpu"
     silence: bool = False
-    wandb_vis_on: bool = False
     deskew: bool = False
     kitti_correction_on: bool = False
     correction_deg: float = 0.195
@@ -58,6 +57,10 @@ class Config:
     dynamic_filter_on: bool = False
     dynamic_certainty_thre: float = 5.0
     dynamic_sdf_ratio_thre: float = 1.5
+    # drop labeled moving objects from semantic supervision (reference
+    # filter_moving_object, utils/config.py:78; consumed by the
+    # SemanticKITTI label reduction in data/kitti.py)
+    filter_moving_object: bool = True
 
     # ---------------- sampler ----------------
     surface_sample_range_m: float = 0.25

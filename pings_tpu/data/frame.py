@@ -82,7 +82,15 @@ def preprocess_frame(frame: dict, cfg, T_rel_last: np.ndarray,
         ts_p, _ = pad_pow2(ts_np)
         jp = tf.deskew(jp, jnp.asarray(ts_p),
                        jnp.asarray(T_rel_last, jnp.float32))
-    keep_map = tf.voxel_down_sample_mask(jp, jm, cfg.vox_down_m)
+    if cfg.rand_downsample:
+        # random downsampling instead of voxel (reference rand_downsample
+        # + rand_down_r, utils/config.py process section): keep each
+        # point with probability rand_down_r
+        rng_ds = np.random.default_rng(cfg.seed + pts.shape[0])
+        keep_map = jm & jnp.asarray(
+            rng_ds.random(jp.shape[0]) < cfg.rand_down_r)
+    else:
+        keep_map = tf.voxel_down_sample_mask(jp, jm, cfg.vox_down_m)
     keep_src = tf.voxel_down_sample_mask(jp, jm, cfg.source_vox_down_m)
 
     out.points_l = np.asarray(jp)

@@ -18,6 +18,33 @@ import numpy as np
 from pings_tpu.data.base import BaseDataset, register_loader
 
 
+def _sem_kitti_learning_map() -> np.ndarray:
+    """SemanticKITTI raw-id -> 20-class training-id lookup (the standard
+    semantic-kitti-api learning_map; reference reduces labels the same way
+    before mapping — slam_dataset.py:1670-1690 'sem_labels_reduced is the
+    reduced labels for mapping (20 classes for semantic kitti)').
+
+    Returns a (260,) i32 array: -1 = unlabeled/outlier/other (ignored by
+    sem_nll_loss), 1..19 = training classes; moving classes (252-259) map
+    to their static counterparts."""
+    m = np.full(260, -1, np.int32)
+    pairs = {
+        10: 1, 11: 2, 13: 5, 15: 3, 16: 5, 18: 4, 20: 5,   # vehicles
+        30: 6, 31: 7, 32: 8,                                # humans
+        40: 9, 44: 10, 48: 11, 49: 12,                      # ground
+        50: 13, 51: 14, 60: 9,                              # structure
+        70: 15, 71: 16, 72: 17, 80: 18, 81: 19,             # nature/objects
+        252: 1, 253: 7, 254: 6, 255: 8,                     # moving -> static
+        256: 5, 257: 5, 258: 4, 259: 5,
+    }
+    for raw, cls in pairs.items():
+        m[raw] = cls
+    return m
+
+
+SEM_KITTI_LEARNING_MAP = _sem_kitti_learning_map()
+
+
 @register_loader("kitti")
 class KittiDataset(BaseDataset):
     CAM = "cam2"
@@ -43,6 +70,8 @@ class KittiDataset(BaseDataset):
         self.correction_deg = getattr(cfg, "correction_deg", 0.195) \
             if cfg is not None else 0.195
         self.apply_correction = getattr(cfg, "kitti_correction_on", True) \
+            if cfg is not None else True
+        self.filter_moving = getattr(cfg, "filter_moving_object", True) \
             if cfg is not None else True
 
         self.K = None
@@ -128,10 +157,20 @@ class KittiDataset(BaseDataset):
             "point_ts": self._azimuth_ts(pts),
         }
         if self.sem_files:
-            # SemanticKITTI .label: u32 per point, class id in low 16 bits
+            # SemanticKITTI .label: u32 per point, class id in low 16 bits.
+            # Raw ids (road=40, building=50, moving-car=252, ...) are
+            # reduced to the 20-class training-id space so they index the
+            # sem_class_count softmax; outliers (raw <= 1) become -1
+            # (excluded from supervision, reference filter_sem_kitti
+            # slam_dataset.py:1670-1690), and moving objects (raw >= 100)
+            # are ignored too when cfg.filter_moving_object is set.
             lab = np.fromfile(self.sem_files[idx], dtype=np.uint32)
             if len(lab) == len(pts):
-                out["sem"] = (lab & 0xFFFF).astype(np.int32)
+                raw = (lab & 0xFFFF).astype(np.int32)
+                sem = SEM_KITTI_LEARNING_MAP[np.clip(raw, 0, 259)]
+                if self.filter_moving:
+                    sem = np.where(raw >= 100, -1, sem)
+                out["sem"] = sem.astype(np.int32)
         if idx < len(self.img_files) and self.K is not None:
             import cv2
 

@@ -110,6 +110,43 @@ def apply_gs_params(m, decoders, params):
     return m, d
 
 
+def reset_keyframe_slot(params: Dict, opt_state, slot: int):
+    """Reset a recycled keyframe slot's per-camera trainables.
+
+    When the camera pool wraps, ``CamPool.add_keyframe`` hands out a slot
+    that may have been trained by its previous occupant; without this, the
+    new keyframe inherits that keyframe's exposure and pose delta (and
+    their Adam moments) — a silent pose/color corruption on long
+    sequences (reference resets per-camera params on pool eviction,
+    mapper.py:640-686). Returns (params, opt_state) with the slot's
+    exposure set to identity, cam_delta to zero, and the corresponding
+    optimizer moment rows zeroed."""
+    e = params["exposure"]
+    n = e.a.shape[0]
+    params = dict(params)
+    params["exposure"] = ExposureParams(
+        mat=e.mat.at[slot].set(jnp.eye(3)),
+        off=e.off.at[slot].set(0.0),
+        a=e.a.at[slot].set(0.0),
+        b=e.b.at[slot].set(0.0))
+    params["cam_delta"] = params["cam_delta"].at[slot].set(0.0)
+    if opt_state is None:
+        return params, None
+
+    def zero_row(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n:
+            return x.at[slot].set(jnp.zeros((), x.dtype))
+        return x
+
+    inner = dict(opt_state.inner_states)
+    for label in ("exposure", "cam_delta"):
+        # within the label's masked subtree the only array leaves are that
+        # label's mu/nu (others are MaskedNode), so the leading-dim match
+        # cannot touch foreign params
+        inner[label] = jax.tree.map(zero_row, inner[label])
+    return params, opt_state._replace(inner_states=inner)
+
+
 def make_gsdf_step(cfg, optimizer, width: int, height: int,
                    local_size: int):
     """Build the fused GS+SDF training step.

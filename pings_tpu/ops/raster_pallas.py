@@ -410,7 +410,8 @@ def _blend_gaussians(attr16, bins: TileBins, ntx: int, nty: int,
                      fast: bool = False):
     """(N, 16) attrs + bins -> (T, 16, P) blended channels, (T, 1, P)
     final transmittance. One custom_vjp over pack+blend so the backward
-    aggregates per-slot grads with a single collision-free scatter-set."""
+    aggregates per-slot grads with a single scatter-add (see
+    _unpack_grads; a collision-free scatter-set measured 5x worse)."""
     attrs = _pack_table(attr16, bins)
     return _blend_fwd_call(attrs, bins.counts, ntx, nty, tile, sup, fast)
 

@@ -129,10 +129,10 @@ class Mesher:
         verts = np.concatenate(all_v)
         tris = np.concatenate(all_t)
         cols = np.concatenate(all_c) if all_c else None
-        min_tri = getattr(self.cfg, "min_cluster_vertices", 0)
-        if min_tri and len(tris):
+        min_v = getattr(self.cfg, "min_cluster_vertices", 0)
+        if min_v and len(tris):
             verts, tris, cols = filter_isolated_clusters(
-                verts, tris, cols, min_tri)
+                verts, tris, cols, min_v)
         return verts, tris, cols
 
     def query_colors(self, m, decoders, verts: np.ndarray,
@@ -166,29 +166,25 @@ def _grid_query(m, decoders, pts, sigma_scale, k, stencil_r, search_alpha):
 
 
 def filter_isolated_clusters(verts: np.ndarray, tris: np.ndarray,
-                             cols, min_tri: int):
-    """Drop mesh connected components with fewer than ``min_tri``
-    triangles (reference filter_isolated_vertices, utils/mesher.py:625-634,
-    driven by config.min_cluster_vertices). Union-find over triangle
-    edges on the host — meshes here are << 10M triangles."""
+                             cols, min_vertices: int):
+    """Drop mesh connected components with fewer than ``min_vertices``
+    vertices (reference filter_isolated_vertices, utils/mesher.py:625-634,
+    driven by config.min_cluster_vertices — a vertex count). Components
+    via scipy sparse connected_components over the triangle edge graph
+    (vectorized; the old pure-Python union-find looped every edge)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
+
     n = len(verts)
-    parent = np.arange(n, dtype=np.int64)
-
-    def find(a):
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
-
-    for col_pair in ((0, 1), (1, 2)):
-        for a, b in tris[:, col_pair]:
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[ra] = rb
-    root = np.array([find(i) for i in range(n)])
-    tri_root = root[tris[:, 0]]
-    counts = np.bincount(tri_root, minlength=n)
-    keep_tri = counts[tri_root] >= min_tri
+    if n == 0 or len(tris) == 0:
+        return verts, tris, cols
+    rows = np.concatenate([tris[:, 0], tris[:, 1]])
+    cls_ = np.concatenate([tris[:, 1], tris[:, 2]])
+    g = sp.coo_matrix((np.ones(len(rows), np.int8), (rows, cls_)),
+                      shape=(n, n))
+    _, root = connected_components(g, directed=False)
+    vert_counts = np.bincount(root, minlength=root.max() + 1)
+    keep_tri = vert_counts[root[tris[:, 0]]] >= min_vertices
     tris = tris[keep_tri]
     used = np.zeros(n, bool)
     used[tris.reshape(-1)] = True

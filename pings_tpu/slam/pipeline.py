@@ -466,6 +466,24 @@ class SlamSystem:
         if cfg.gs_on and pre.cams:
             self._train_gs(pre, fid, rep, freeze)
 
+    def _reset_cam_slot(self, slot: int):
+        """Zero a recycled keyframe slot's exposure/cam-delta trainables
+        and Adam moments (reference per-camera param reset on pool
+        eviction; without it a new keyframe inherits the previous
+        occupant's trained exposure/pose delta)."""
+        pseudo = {"exposure": self.exposure, "cam_delta": self.cam_delta}
+        opt_state = self._gs[2] if self._gs is not None else None
+        pseudo, opt_state = gs_mapper.reset_keyframe_slot(
+            pseudo, opt_state, slot)
+        self.exposure = pseudo["exposure"]
+        self.cam_delta = pseudo["cam_delta"]
+        if self._gs is not None:
+            self._gs[2] = opt_state
+            p = dict(self._gs[1])
+            p["exposure"] = self.exposure
+            p["cam_delta"] = self.cam_delta
+            self._gs[1] = p
+
     def _train_gs(self, pre: PreprocessedFrame, fid: int, rep: FrameReport,
                   freeze):
         cfg = self.cfg
@@ -498,9 +516,11 @@ class SlamSystem:
                     sky=jnp.asarray(sky if sky is not None
                                     else np.zeros((h, w), np.float32)),
                     frame_id=jnp.int32(fid))
-                self.campool.add_keyframe(
+                slot = self.campool.add_keyframe(
                     cam, T[:3, 3], fid,
                     T_c_l=np.asarray(cd["T_c_l"], np.float64))
+                if slot is not None:
+                    self._reset_cam_slot(slot)
 
         gs_iters = cfg.gs_iters + self._adaptive_offset(fid)
         if self.stop_status:

@@ -16,15 +16,36 @@ import numpy as np
 
 
 class TsdfVolume:
-    """Dense TSDF grid with weighted running-average integration."""
+    """Dense TSDF grid with weighted running-average integration.
 
-    def __init__(self, lo, hi, voxel: float, trunc: Optional[float] = None):
+    Memory-bounded: when the requested bounds at ``voxel`` resolution
+    would exceed ``max_voxels`` (20 B/voxel: tsdf + weight + rgb), the
+    voxel size auto-coarsens by powers of two until it fits — a dense
+    stand-in for the reference's sparse Open3D ScalableTSDFVolume that
+    cannot OOM on outdoor/long sequences. Integration walks the grid in
+    fixed-size chunks so the per-frame temporaries stay ~100 MB."""
+
+    CHUNK = 4 << 20  # voxels per integrate chunk
+
+    def __init__(self, lo, hi, voxel: float, trunc: Optional[float] = None,
+                 max_voxels: int = 80_000_000):
         self.lo = np.asarray(lo, np.float64)
+        hi = np.asarray(hi, np.float64)
         self.voxel = float(voxel)
-        self.trunc = float(trunc if trunc is not None else 3.0 * voxel)
-        self.shape = tuple(
-            int(np.ceil((h - l) / voxel)) + 1
-            for l, h in zip(self.lo, np.asarray(hi, np.float64)))
+        while True:
+            shape = tuple(
+                int(np.ceil((h - l) / self.voxel)) + 1
+                for l, h in zip(self.lo, hi))
+            if int(np.prod(shape)) <= max_voxels:
+                break
+            self.voxel *= 2.0
+        if self.voxel != voxel:
+            import logging
+            logging.getLogger(__name__).warning(
+                "TSDF grid at %.3g m would exceed %d voxels; coarsened "
+                "to %.3g m", voxel, max_voxels, self.voxel)
+        self.trunc = float(trunc if trunc is not None else 3.0 * self.voxel)
+        self.shape = shape
         self.tsdf = np.ones(self.shape, np.float32)
         self.weight = np.zeros(self.shape, np.float32)
         self.color = np.zeros(self.shape + (3,), np.float32)
@@ -32,44 +53,50 @@ class TsdfVolume:
     def integrate(self, depth: np.ndarray, K: np.ndarray,
                   T_c_w: np.ndarray, rgb: Optional[np.ndarray] = None,
                   max_weight: float = 64.0):
-        """Project every voxel center into the camera; update the
-        truncated projective SDF with weight 1 (reference integrates via
-        o3d with the same projective model)."""
+        """Project voxel centers into the camera; update the truncated
+        projective SDF with weight 1 (reference integrates via o3d with
+        the same projective model). Chunked over the flat voxel index."""
         nx, ny, nz = self.shape
-        xs = self.lo[0] + self.voxel * np.arange(nx)
-        ys = self.lo[1] + self.voxel * np.arange(ny)
-        zs = self.lo[2] + self.voxel * np.arange(nz)
-        X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
-        pts = np.stack([X, Y, Z], -1).reshape(-1, 3)
-        pc = pts @ T_c_w[:3, :3].T + T_c_w[:3, 3]
-        z = pc[:, 2]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            u = (K[0, 0] * pc[:, 0] / z + K[0, 2]).round().astype(np.int64)
-            v = (K[1, 1] * pc[:, 1] / z + K[1, 2]).round().astype(np.int64)
+        n_total = nx * ny * nz
         h, w = depth.shape
-        ok = (z > 1e-3) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
-        ui = np.clip(u, 0, w - 1)
-        vi = np.clip(v, 0, h - 1)
-        d_obs = depth[vi, ui]
-        ok &= d_obs > 1e-4
-        sdf = d_obs - z                       # + in front of surface
-        ok &= sdf > -self.trunc               # skip far-behind voxels
-        tsdf_new = np.clip(sdf / self.trunc, -1.0, 1.0)
-
-        idx = np.nonzero(ok)[0]
         flatw = self.weight.reshape(-1)
         flatt = self.tsdf.reshape(-1)
-        w_old = flatw[idx]
-        w_new = np.minimum(w_old + 1.0, max_weight)
-        flatt[idx] = (flatt[idx] * w_old + tsdf_new[idx]) / w_new
-        flatw[idx] = w_new
-        if rgb is not None:
-            flatc = self.color.reshape(-1, 3)
-            c_obs = rgb[vi[idx], ui[idx]].astype(np.float32)
-            if c_obs.max() > 1.5:
-                c_obs = c_obs / 255.0
-            flatc[idx] = (flatc[idx] * w_old[:, None] + c_obs) \
-                / w_new[:, None]
+        flatc = self.color.reshape(-1, 3)
+        if rgb is not None and rgb.max() > 1.5:
+            rgb = rgb.astype(np.float32) / 255.0
+        for i0 in range(0, n_total, self.CHUNK):
+            i1 = min(i0 + self.CHUNK, n_total)
+            flat = np.arange(i0, i1, dtype=np.int64)
+            iz = flat % nz
+            iy = (flat // nz) % ny
+            ix = flat // (ny * nz)
+            pts = np.stack([ix, iy, iz], -1) * self.voxel + self.lo
+            pc = (pts @ T_c_w[:3, :3].T
+                  + T_c_w[:3, 3]).astype(np.float32)
+            z = pc[:, 2]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u = (K[0, 0] * pc[:, 0] / z + K[0, 2]).round().astype(
+                    np.int64)
+                v = (K[1, 1] * pc[:, 1] / z + K[1, 2]).round().astype(
+                    np.int64)
+            ok = (z > 1e-3) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+            ui = np.clip(u, 0, w - 1)
+            vi = np.clip(v, 0, h - 1)
+            d_obs = depth[vi, ui]
+            ok &= d_obs > 1e-4
+            sdf = d_obs - z                   # + in front of surface
+            ok &= sdf > -self.trunc           # skip far-behind voxels
+            tsdf_new = np.clip(sdf / self.trunc, -1.0, 1.0)
+
+            idx = flat[ok]
+            w_old = flatw[idx]
+            w_new = np.minimum(w_old + 1.0, max_weight)
+            flatt[idx] = (flatt[idx] * w_old + tsdf_new[ok]) / w_new
+            flatw[idx] = w_new
+            if rgb is not None:
+                c_obs = rgb[vi[ok], ui[ok]].astype(np.float32)
+                flatc[idx] = (flatc[idx] * w_old[:, None] + c_obs) \
+                    / w_new[:, None]
 
     def extract_mesh(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(verts, tris, colors) of the zero iso-surface over observed

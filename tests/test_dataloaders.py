@@ -280,19 +280,37 @@ def test_waymo_loader(tmp_path, rng):
 
 
 def test_kitti_semantic_labels(tmp_path):
-    """SemanticKITTI labels/*.label flow into the frame's sem channel."""
+    """SemanticKITTI raw labels are reduced to the 20-class training-id
+    space (learning_map): raw ids like road=40/building=50 must land in
+    [0, 20) of the sem_class_count softmax, outliers/unlabeled become -1,
+    and moving classes are ignored by default (filter_moving_object)."""
     import numpy as np
     from pings_tpu.data.kitti import KittiDataset
 
     seq = tmp_path / "00"
     (seq / "velodyne").mkdir(parents=True)
     (seq / "labels").mkdir()
-    pts = np.random.rand(64, 4).astype(np.float32) * 5
+    raw = np.array([0, 1, 10, 30, 40, 44, 48, 50, 51, 70, 71, 72, 80, 81,
+                    99, 252, 254, 259], np.uint32)
+    pts = np.random.rand(len(raw), 4).astype(np.float32) * 5
     pts.tofile(seq / "velodyne" / "000000.bin")
-    lab = (np.arange(64, dtype=np.uint32) % 20) | (7 << 16)  # instance bits
+    lab = raw | (7 << 16)  # instance bits in the high half
     lab.astype(np.uint32).tofile(seq / "labels" / "000000.label")
+
     ds = KittiDataset(str(tmp_path), "00")
     fr = ds[0]
-    assert "sem" in fr
-    assert fr["sem"].dtype == np.int32
-    np.testing.assert_array_equal(fr["sem"], np.arange(64) % 20)
+    assert "sem" in fr and fr["sem"].dtype == np.int32
+    sem = fr["sem"]
+    # everything indexes the 20-class softmax or is the ignore sentinel
+    assert sem.min() >= -1 and sem.max() < 20
+    expected = np.array([-1, -1, 1, 6, 9, 10, 11, 13, 14, 15, 16, 17, 18,
+                         19, -1, -1, -1, -1], np.int32)  # moving ignored
+    np.testing.assert_array_equal(sem, expected)
+
+    # with filter_moving_object off, moving classes map to their static
+    # counterparts (moving-car 252 -> car 1, moving-person 254 -> 6)
+    class Cfg:
+        filter_moving_object = False
+    ds2 = KittiDataset(str(tmp_path), "00", cfg=Cfg())
+    sem2 = ds2[0]["sem"]
+    np.testing.assert_array_equal(sem2[-3:], [1, 6, 5])

@@ -151,3 +151,59 @@ def test_gsdf_slice_converges(rng):
     a = np.array(res.alpha)
     assert a[hit].mean() > 0.6, a[hit].mean()
     assert a[~hit].mean() < 0.2, a[~hit].mean()
+
+
+def test_recycled_keyframe_slot_resets_trainables(rng):
+    """When the camera pool wraps, the recycled slot must start from
+    identity exposure / zero pose delta with zeroed Adam moments — not the
+    previous occupant's trained values (VERDICT r2: slot-recycling bug)."""
+    cfg = Config.load(overrides=dict(
+        max_points=512, buffer_size=1 << 12, feature_dim=4,
+        color_feature_dim=4, geo_mlp_hidden_dim=16, color_mlp_hidden_dim=16,
+        gaussian_mlp_hidden_dim=16, img_pool_size=2, long_term_pool_size=2,
+    ))
+    m = npm.init_map(cfg, jax.random.PRNGKey(0))
+    decoders = dec.init_decoders(jax.random.PRNGKey(1), cfg)
+    pool = CamPool(cfg)
+    exposure, cam_delta = pool.init_param_pools()
+    opt = gs_mapper.make_gs_optimizer(cfg)
+    params = gs_mapper.gs_params(m, decoders, exposure, cam_delta)
+    state = opt.init(params)
+
+    # dirty every slot's trainables + moments (as if trained)
+    e = params["exposure"]
+    params["exposure"] = e._replace(a=e.a + 0.7, off=e.off + 0.3,
+                                    mat=e.mat + 0.1)
+    params["cam_delta"] = params["cam_delta"] + 0.05
+    dirty = lambda x: (x + 1.0 if hasattr(x, "ndim") and x.ndim >= 1
+                       else x)
+    inner = dict(state.inner_states)
+    for lbl in ("exposure", "cam_delta"):
+        inner[lbl] = jax.tree.map(dirty, inner[lbl])
+    state = state._replace(inner_states=inner)
+
+    # pool wraps: fill all slots, then one more recycles
+    cam = CamView(K=jnp.eye(3), T_c_w=jnp.eye(4),
+                  rgb=jnp.zeros((4, 4, 3)), depth=jnp.zeros((4, 4)),
+                  sky=jnp.zeros((4, 4)), frame_id=jnp.int32(0))
+    slots = [pool.add_keyframe(cam, np.array([float(i), 0, 0]), i)
+             for i in range(pool.n_slots + 1)]
+    recycled = slots[-1]
+    assert recycled in slots[:-1]  # the pool really wrapped
+
+    params2, state2 = gs_mapper.reset_keyframe_slot(params, state, recycled)
+    e2 = params2["exposure"]
+    np.testing.assert_allclose(np.asarray(e2.mat[recycled]), np.eye(3))
+    np.testing.assert_allclose(np.asarray(e2.off[recycled]), 0.0)
+    assert float(e2.a[recycled]) == 0.0 and float(e2.b[recycled]) == 0.0
+    np.testing.assert_allclose(np.asarray(params2["cam_delta"][recycled]),
+                               0.0)
+    # other slots untouched
+    other = next(s for s in slots[:-1] if s != recycled)
+    assert float(e2.a[other]) == pytest.approx(0.7)
+    # moments of the slot zeroed, others kept
+    mu_e = state2.inner_states["exposure"][0][0].mu["exposure"]
+    assert float(mu_e.a[recycled]) == 0.0
+    assert float(mu_e.a[other]) == 1.0
+    mu_cd = state2.inner_states["cam_delta"][0][0].mu["cam_delta"]
+    np.testing.assert_allclose(np.asarray(mu_cd[recycled]), 0.0)

@@ -179,7 +179,8 @@ class TestIsolatedClusterFilter:
         verts = np.concatenate([v_big, v_lone])
         tris = np.array(tris + [[25, 26, 27]], np.int32)
         cols = np.ones((len(verts), 3), np.float32)
-        v2, t2, c2 = filter_isolated_clusters(verts, tris, cols, min_tri=5)
+        v2, t2, c2 = filter_isolated_clusters(verts, tris, cols,
+                                              min_vertices=5)
         assert len(t2) == 32 and len(v2) == 25
         assert c2.shape == (25, 3)
         assert t2.max() < len(v2)
