@@ -240,6 +240,20 @@ class Config:
     bg_color: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
     tile_size: int = 16
     max_gs_per_tile: int = 512       # static per-tile capacity (Pallas)
+    # Pallas raster tuning: blend-dot precision ("fast" = single-pass
+    # bf16, ~2^-8 relative blend error — below the CUDA reference's own
+    # run-to-run nondeterminism; "high" = bf16-split ~f32), and tile-table
+    # reuse across GS iterations (re-bin every N iters per keyframe, or
+    # sooner when projected means drift beyond the pixel guard)
+    raster_precision: str = "fast"
+    raster_rebin_every: int = 8
+    raster_rebin_drift_px: float = 4.0
+    # GS-SDF consistency sample gating (reference utils/config.py:298,304;
+    # consistency samples must be visible gaussians with alpha > min_alpha
+    # AND blend contribution > gs_contribution_threshold,
+    # utils/mapper.py:1355-1366)
+    gs_contribution_threshold: float = 0.1
+    gs_min_alpha: float = 0.05
     max_render_gaussians: int = 1 << 18
 
     # ---------------- eval ----------------

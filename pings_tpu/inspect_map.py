@@ -130,7 +130,8 @@ def render_poses(args, cfg, system, poses, out_dir):
         cam = _camera(args, T)
         res = render(local, system.decoders, cam, args.width, args.height,
                      spawn_kwargs=spawn_kwargs_from_cfg(cfg),
-                     max_per_tile=cfg.max_gs_per_tile)
+                     max_per_tile=cfg.max_gs_per_tile,
+                     gs_type=cfg.gs_type, precision=cfg.raster_precision)
         rgb = np.clip(np.asarray(res.rgb) * 255, 0, 255).astype(np.uint8)
         frames.append(rgb)
         if args.video is None:
@@ -192,7 +193,8 @@ def eval_heldout(args, cfg, system, out_dir):
         res = render(local, system.decoders, cam, w, h,
                      theta=theta, rho=rho,
                      spawn_kwargs=spawn_kwargs_from_cfg(cfg),
-                     max_per_tile=cfg.max_gs_per_tile)
+                     max_per_tile=cfg.max_gs_per_tile,
+                     gs_type=cfg.gs_type, precision=cfg.raster_precision)
         pred = np.asarray(res.rgb)
         met = image_metrics(pred, img, with_lpips=True)
         met["frame"] = i
@@ -242,7 +244,8 @@ def refine_view_pose(cfg, local, decoders, cam, w, h, iters=50,
         theta, rho = tr
         res = render(local, decoders, cam, w, h, theta=theta, rho=rho,
                      spawn_kwargs=spawn_kwargs,
-                     max_per_tile=cfg.max_gs_per_tile)
+                     max_per_tile=cfg.max_gs_per_tile,
+                     gs_type=cfg.gs_type, precision=cfg.raster_precision)
         return jnp.mean(jnp.abs(res.rgb - cam.rgb))
 
     opt = optax.adam(lr)

@@ -51,6 +51,9 @@ class GsStepMetrics(NamedTuple):
     psnr: jnp.ndarray
     n_overflow: jnp.ndarray
     nonfinite: jnp.ndarray = False
+    # max |Δmeans2d| px since the reused tile table was built (0 when
+    # binning ran fresh this step) — drives the host rebin guard
+    bin_drift: jnp.ndarray = 0.0
 
 
 def gs_param_labels() -> Dict[str, str]:
@@ -166,10 +169,11 @@ def make_gsdf_step(cfg, optimizer, width: int, height: int,
     eik_n = max(cfg.bs // max(cfg.gradient_decimation, 1), 8)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1),
-                       static_argnames=("train_pose",))
+                       static_argnames=("train_pose", "use_bins"))
     def step(params, opt_state, static_map, decoders, local_idx, cam,
              cam_slot, sdf_batch, freeze_geo, surrounding=None,
-             depth_w=1.0, train_pose=False):
+             depth_w=1.0, train_pose=False, bins=None, bin_means=None,
+             cached_contrib=None, use_bins=False):
 
         def loss_fn(p):
             m, d = apply_gs_params(static_map, decoders, p)
@@ -189,7 +193,11 @@ def make_gsdf_step(cfg, optimizer, width: int, height: int,
                 theta = jax.lax.stop_gradient(theta)
                 rho = jax.lax.stop_gradient(rho)
 
-            res = render(
+            # tile-table reuse: bins from a previous iteration on this
+            # keyframe are reused (binning is non-diff structure either
+            # way); bin_drift = max projected-center movement since the
+            # table was built feeds the host rebin guard
+            res, bins_out, means2d = render(
                 local, d, cam, width, height,
                 exposure=exposure,
                 affine_exposure=cfg.affine_exposure_correction,
@@ -198,7 +206,21 @@ def make_gsdf_step(cfg, optimizer, width: int, height: int,
                 spawn_kwargs=spawn_kwargs,
                 tile=cfg.tile_size, max_per_tile=cfg.max_gs_per_tile,
                 chunk=32, gs_type=cfg.gs_type,
+                precision=cfg.raster_precision,
+                # contributions are refreshed on the rebin iterations and
+                # reused in between (they drive a sample-selection gate,
+                # so bounded staleness is harmless; recomputing every
+                # iteration costs an extra per-gaussian scatter pass)
+                with_contrib=not use_bins,
+                raster_bins=bins if use_bins else None,
+                return_bins=True,
             )
+            contrib = (cached_contrib if use_bins
+                       and cached_contrib is not None else res.contrib)
+            if use_bins and bin_means is not None and means2d is not None:
+                drift = jnp.max(jnp.abs(means2d - bin_means))
+            else:
+                drift = jnp.float32(0.0)
 
             # photometric (mapper.py:1240-1246)
             l1 = losses.l1_masked(res.rgb, cam.rgb)
@@ -235,13 +257,20 @@ def make_gsdf_step(cfg, optimizer, width: int, height: int,
                 lambda: jnp.float32(0.0),
             ) if cfg.sky_on else jnp.float32(0.0)
 
-            # Gaussian–SDF consistency (mapper.py:1379-1481): take S spawned
-            # gaussians with the highest alpha; their centers should sit on
-            # the zero level set and SDF gradients align with their normals
+            # Gaussian–SDF consistency (mapper.py:1379-1481): constrain
+            # visible spawned gaussians that actually matter for the
+            # render — alpha > min_alpha AND blend contribution above the
+            # threshold (reference constraint_mask, mapper.py:1355-1366)
+            # — taking the S highest-contribution ones (static-shape
+            # stand-in for the reference's random subsample); centers
+            # should sit on the zero level set and SDF gradients align
+            # with their normals
             g = res.gaussians
-            score = jnp.where(g.valid, g.alphas, -1.0)
+            qualify = (g.valid & (g.alphas > cfg.gs_min_alpha)
+                       & (contrib > cfg.gs_contribution_threshold))
+            score = jnp.where(qualify, contrib, -1.0)
             top_idx = jax.lax.top_k(score, S)[1]
-            gsel_mask = score[top_idx] > 0.5
+            gsel_mask = score[top_idx] > 0.0
             centers = jax.lax.stop_gradient(g.means[top_idx])
             sdf_c, _, v_c = field.sdf_at(m, d, centers, sigma_scale, k,
                                          stencil_r, alpha_s)
@@ -306,10 +335,12 @@ def make_gsdf_step(cfg, optimizer, width: int, height: int,
                 gs_sdf=gs_sdf, sdf_bce=bce,
                 psnr=losses.psnr(res.rgb, cam.rgb),
                 n_overflow=res.n_overflow,
+                bin_drift=drift,
             )
-            return total, metrics
+            return total, (metrics, bins_out, means2d, res.contrib)
 
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
+        grads, (metrics, bins_out, means2d, contrib_out) = jax.grad(
+            loss_fn, has_aux=True)(params)
         freeze_keys = ("sdf", "color")
         grads = {
             **grads,
@@ -322,6 +353,6 @@ def make_gsdf_step(cfg, optimizer, width: int, height: int,
         metrics = metrics._replace(nonfinite=nonfinite)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, metrics
+        return params, opt_state, metrics, (bins_out, means2d, contrib_out)
 
     return step

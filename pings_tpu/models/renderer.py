@@ -142,14 +142,23 @@ def render(
     chunk: int = 32,
     normalize_depth: bool = True,
     gs_type: str = "3d_gs",
-) -> RenderResult:
+    precision: str = "high",
+    with_contrib: bool = False,
+    raster_bins=None,
+    return_bins: bool = False,
+):
     """Spawn + rasterize + exposure. Differentiable w.r.t. local point
     features, decoder params, exposure, and (theta, rho).
 
     gs_type selects the rasterizer like the reference render()
     (gaussian_renderer/__init__.py:88-98): "3d_gs" | "gaussian_surfel"
     (flat splats, per-pixel plane depth) | "2d_gs" (ray-disc
-    intersection, median depth + distortion extras)."""
+    intersection, median depth + distortion extras). 3d_gs and
+    gaussian_surfel run the fused Pallas kernels on accelerators;
+    ``precision`` selects their blend-dot precision, ``raster_bins``
+    reuses a cached tile table (training-loop amortization), and
+    ``return_bins=True`` additionally returns (bins, means2d snapshot)
+    for the host-side cache + drift guard."""
     spawn_kwargs = spawn_kwargs or {}
     T_c_w = cam.T_c_w
     if theta is not None:
@@ -172,28 +181,40 @@ def render(
 
     mode = {"3d_gs": "3dgs", "gaussian_surfel": "surfel",
             "2d_gs": "2dgs"}[gs_type]
-    if _use_pallas() and mode == "3dgs":
+    bins_out = None
+    means2d = None
+    if _use_pallas() and mode in ("3dgs", "surfel"):
         from pings_tpu.ops.raster_pallas import rasterize_pallas
-        out = rasterize_pallas(
+        r = rasterize_pallas(
             means, quats, scales, alphas, colors, valid,
             T_c_w, cam.K, width, height, bg=bg,
             tile=tile, max_per_tile=max_per_tile,
-            normalize_depth=normalize_depth,
+            normalize_depth=normalize_depth, mode=mode,
+            precision=precision, with_contrib=with_contrib,
+            bins=raster_bins, return_bins=return_bins,
         )
+        if return_bins:
+            out, bins_out, means2d = r
+        else:
+            out = r
     else:
         out = rz.rasterize(
             means, quats, scales, alphas, colors, valid,
             T_c_w, cam.K, width, height, bg=bg,
             tile=tile, max_per_tile=max_per_tile, chunk=chunk,
             normalize_depth=normalize_depth, mode=mode,
+            with_contrib=with_contrib,
         )
     rgb = out.rgb
     if exposure is not None:
         rgb = apply_exposure(rgb, exposure, affine_exposure)
     n_local = g.means.shape[0]
-    return RenderResult(
+    res = RenderResult(
         rgb=rgb, depth=out.depth, alpha=out.alpha, normal=out.normal,
         contrib=out.contrib[:n_local], gaussians=g,
         n_overflow=out.n_overflow,
         depth_median=out.depth_median, distortion=out.distortion,
     )
+    if return_bins:
+        return res, bins_out, means2d
+    return res

@@ -3,47 +3,73 @@
 The portable XLA blend (ops/rasterize.blend_tiles) materializes large
 (T, chunk, P) temporaries and its autodiff backward issues per-chunk
 scatters. These kernels keep the whole tile state in VMEM and run the
-blend as full-width (SUPER, P) = (256, 256) vector/matrix ops:
+blend as full-width (SUPER, P) vector/matrix ops:
 
 - per-gaussian scalars (mean, conic, opacity) live on the sublane axis,
   pixels on the lane axis, so broadcasts need no transposes;
 - the prefix products/sums over blend order run on the MXU as one
   triangular (SUPER, SUPER) @ (SUPER, P) matmul — the product in log
-  space (exp(tril_strict @ log(1-a))), the sum directly. Measured ~2x
-  the whole-kernel throughput of the log2(SUPER) pltpu.roll ladder the
-  kernels used before (rolls are cross-sublane shuffles and each step
-  rewrites the full (SUPER, P) block);
+  space (exp(tril_strict @ log(1-a))), the sum directly;
 - channel accumulation and the backward's per-slot direct gradients are
   single MXU matmuls per superblock ((16,K)@(K,P) and (K,P)@(P,16));
 - superblocks past the tile's occupancy (bins.counts) or past alpha
   saturation (transmittance < TRANS_EPS) are skipped;
 - the backward is a single front-to-back pass using the suffix identity
-  (see _bwd_kernel), so fwd+bwd costs about two forwards.
+  (see _bwd kernels), so fwd+bwd costs about two forwards.
+
+The per-pixel quadratic q is evaluated in the direct (px - mu) form: a
+round-3 experiment moved it to a per-slot coefficient table contracted
+against a pixel-basis matmul — the kernels were exactly as fast (the
+column extractions the rework targeted were never the bottleneck), and
+the XLA-side coefficient table cost ~25 ms/iter in minor-dim slice/stack
+relayouts, so the direct form stays.
 
 Dataflow (one custom_vjp over the whole pack+blend stage):
 - forward: XLA gathers the per-tile packed attribute table (T, Kmax, 16)
   from the per-gaussian attribute matrix (N, 16) via bins.gauss_idx, then
   the Pallas kernel maps it to (T, 16, P) blended channels + (T, 1, P)
-  final transmittance.
+  final transmittance (+ (T, 1, P) median depth in surfel mode).
 - backward: the Pallas kernel re-blends front-to-back emitting per-slot
   gradients (T, Kmax, 16); one XLA scatter-add onto bins.gauss_tbl
-  aggregates them per gaussian. (Measured on a v5e chip: the scatter-add
-  costs ~33 ms at 1.8M slots / ~10 ms at 460k, vs ~240 ms for the
-  gather-based inverse-location scheme, ~102 ms for a collision-free
-  scatter-SET over pair ids, and ~70 ms of extra sorts either needed.)
-  rho = sum_c g_c out_c comes free from the saved forward outputs.
+  aggregates them per gaussian (~10 ms at 460k slots on v5e; sorted-
+  scatter, segment-sum, shift-combine and hierarchical MXU-cumsum
+  variants all measured equal or worse — TPU row-indexed ops cost
+  ~20 ns/row regardless of index pattern). rho = sum_c g_c out_c comes
+  free from the saved forward outputs.
 Background compositing and depth normalization stay in XLA (autodiffed).
 
-Attribute channel layout (lane dim, 16 columns) — chosen so the packed
-block doubles as the output-attribute matrix (columns 0-7 are exactly
-the blended output channels):
-  0 r, 1 g, 2 b, 3 depth, 4 nx, 5 ny, 6 nz, 7 const 1.0 (alpha channel),
-  8 mu_x, 9 mu_y, 10 conic_a, 11 conic_b, 12 conic_c,
-  13 opacity (0 = masked), 14-15 pad.
-Output channel layout (16 rows): 0 r, 1 g, 2 b, 3 depth, 4 nx, 5 ny,
-6 nz, 7 alpha; rows 8-15 accumulate meaningless products and are ignored
-by callers (but kept as true outputs so the rho identity holds for any
-cotangent).
+Binning reuse: ``rasterize_pallas(..., bins=...)`` skips re-binning —
+during GS training the spawned gaussians move slowly (bounded MLP
+displacements), so the mapper re-bins every few iterations per keyframe
+and reuses the table in between (a max-|Δmeans2d| drift guard triggers
+early rebinds; binning is non-differentiable structure in both paths).
+
+Attribute channel layouts (lane dim, 16 columns) — chosen so the packed
+block doubles as the output-attribute matrix:
+
+3DGS (gauss_attr_matrix; columns 0-7 are exactly the blended output
+channels): 0 r, 1 g, 2 b, 3 depth, 4 nx, 5 ny, 6 nz, 7 const 1.0 (alpha
+channel), 8 mu_x, 9 mu_y, 10 conic_a, 11 conic_b, 12 conic_c,
+13 opacity (0 = masked), 14-15 pad. Output rows: 0 r, 1 g, 2 b, 3 depth,
+4 nx, 5 ny, 6 nz, 7 alpha; rows 8-15 accumulate meaningless products and
+are ignored by callers (kept as true outputs so the rho identity holds
+for any cotangent).
+
+Surfel (surfel_attr_matrix; the reference default gs_type,
+diff-gaussian-surfel-rasterization-w-pose, call
+gaussian_renderer/__init__.py:313-347): 0 r, 1 g, 2 b, 3-5 blend normal,
+6 mu_x, 7 mu_y, 8 conic_a, 9 conic_b, 10 conic_c, 11 opacity,
+12 ndx, 13 ndy, 14 nd0, 15 pad — [ndx, ndy, nd0] are the per-gaussian
+*global-pixel-basis* plane-depth coefficients
+    s(px, py) = ndx px + ndy py + nd0 = (n . d_pix) / plane_d,
+    z = 1 / s
+(ndx = n_x/(fx pd) etc.; unlike q, s has no catastrophic cancellation at
+global pixel coordinates — all terms are O(1/z) — so no per-tile
+localization is needed and the whole attribute matrix stays per-gaussian).
+Per-pixel depth and alpha accumulate as per-superblock row sums (no
+constant-1 column needed), median depth (transmittance-0.5 crossing) is
+a forward-only extra output. Output rows: 0 r, 1 g, 2 b, 3-5 normal,
+6 depth, 7 alpha, 8-15 zero.
 """
 
 from __future__ import annotations
@@ -56,8 +82,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pings_tpu.ops.rasterize import (
-    ProjectedGaussians, RenderOutput, TileBins, apply_pose_delta,
-    bin_gaussians, project_gaussians,
+    ProjectedGaussians, ProjectedSurfels, RenderOutput, TileBins,
+    apply_pose_delta, bin_gaussians, project_gaussians, project_surfels,
 )
 
 INTERPRET = False  # set True to run the kernels in interpreter mode (CPU)
@@ -85,9 +111,42 @@ def gauss_attr_matrix(p: ProjectedGaussians) -> jnp.ndarray:
     return jnp.stack(cols, axis=1)          # (N, 16)
 
 
+def surfel_attr_matrix(ps: ProjectedSurfels, K: jnp.ndarray) -> jnp.ndarray:
+    """Per-surfel packed attribute matrix (N, 16) — differentiable.
+
+    Builds the global plane-depth basis coefficients from the tangent
+    plane (module docstring): s = ndx px + ndy py + nd0 = (n.d_pix)/pd."""
+    b = ps.base
+    opa = jnp.where(b.valid, b.opacity, 0.0)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    # plane_d <= 0 by construction (normal flipped toward camera,
+    # rasterize.project_surfels); guard the through-camera plane
+    pd = jnp.minimum(ps.plane_d, -1e-9)
+    ndx = ps.plane_n[..., 0] / (fx * pd)
+    ndy = ps.plane_n[..., 1] / (fy * pd)
+    nd0 = (ps.plane_n[..., 2] - ps.plane_n[..., 0] * cx / fx
+           - ps.plane_n[..., 1] * cy / fy) / pd
+    cols = [
+        b.color[..., 0], b.color[..., 1], b.color[..., 2],
+        b.normal[..., 0], b.normal[..., 1], b.normal[..., 2],
+        b.means2d[..., 0], b.means2d[..., 1],
+        b.conic[..., 0], b.conic[..., 1], b.conic[..., 2],
+        opa,
+        ndx, ndy, nd0,
+        jnp.zeros_like(opa),
+    ]
+    return jnp.stack(cols, axis=1)          # (N, 16)
+
+
+# per-mode column indices: (mu_x, mu_y, conic_a, conic_b, conic_c, opa)
+_GEOM_COLS = {"3dgs": (8, 9, 10, 11, 12, 13),
+              "surfel": (6, 7, 8, 9, 10, 11)}
+_ND_COLS = (12, 13, 14)    # surfel plane-depth basis columns
+
+
 def _pack_table(attr16: jnp.ndarray, bins: TileBins) -> jnp.ndarray:
     """Gather (N, 16) -> (T, Kmax, 16); masked slots zeroed (their
-    opacity column 13 = 0 makes them blend no-ops). One per-slot row
+    opacity column = 0 makes them blend no-ops). One per-slot row
     gather straight off the gaussian-id table."""
     n = attr16.shape[0]
     tbl = attr16[jnp.minimum(bins.gauss_tbl, n - 1)]      # (T, Kmax, 16)
@@ -101,9 +160,7 @@ def _unpack_grads(dtable: jnp.ndarray, bins: TileBins,
 
     Masked slots carry exactly-zero gradients (their opacity is 0 so
     alpha == 0 and the kernel's active mask kills every term), so no
-    mask filter is needed before the add. (A collision-free scatter-SET
-    via per-slot pair ids measured 102 ms vs this path's ~10 ms at 460k
-    slots on v5e — unique indices do not help XLA TPU scatters.)"""
+    mask filter is needed before the add."""
     flat = dtable.reshape(-1, NCH)
     idx = jnp.minimum(bins.gauss_tbl.reshape(-1), n - 1)
     return jnp.zeros((n, NCH), dtable.dtype).at[idx].add(flat)
@@ -144,8 +201,7 @@ def _bf16_split(x):
 
     Mosaic supports only DEFAULT (one-pass bf16) and HIGHEST (six-pass)
     dot precision in kernels; a manual two/three-pass split hits ~f32
-    accuracy at a third of HIGHEST's MXU passes (measured ~1.2x whole-
-    kernel speedup, max output drift 5e-5 vs HIGHEST on the bench scene)."""
+    accuracy at a third of HIGHEST's MXU passes."""
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
@@ -180,29 +236,58 @@ def _excl_prod(one_m, tri_s, fast: bool = False):
     """Exclusive prefix product along sublanes via one triangular MXU
     matmul in log space. one_m in [1e-3, 1] (alpha clamps at 0.999)
     keeps the log bounded; where transmittance is non-negligible the
-    summed log is O(10), so the exp round-trip error is ~1e-6 relative
-    (the all-roll ladder this replaces was ~2x slower end to end)."""
+    summed log is O(10), so the exp round-trip error is ~1e-6 relative."""
     return jnp.exp(_tri_matmul(tri_s, jnp.log(one_m), fast))
 
 
-def _super_alpha(chunk, px, py):
+def _super_alpha(chunk, px, py, mode: str):
     """chunk (SUPER, 16) -> (alpha, dx, dy, q, unclamped), each
     (SUPER, P). Column layout per module docstring."""
+    mx, my, ca, cb, cc, op = _GEOM_COLS[mode]
     col = lambda c: chunk[:, c:c + 1]                 # (SUPER, 1)
-    dx = px - col(8)
-    dy = py - col(9)
-    q = col(10) * dx * dx + col(12) * dy * dy + 2.0 * col(11) * dx * dy
-    araw = col(13) * jnp.exp(-0.5 * q)
+    dx = px - col(mx)
+    dy = py - col(my)
+    q = col(ca) * dx * dx + col(cc) * dy * dy + 2.0 * col(cb) * dx * dy
+    araw = col(op) * jnp.exp(-0.5 * q)
     araw = jnp.where((q < CUTOFF_Q) & (araw >= ALPHA_FLOOR), araw, 0.0)
     alpha = jnp.minimum(araw, 0.999)
     return alpha, dx, dy, q, araw < 0.999
 
 
-def _fwd_kernel(counts_ref, attrs_ref, out_ref, trans_ref, *, ntx: int,
-                tile: int, kmax: int, sup: int, gtiles: int, fast: bool):
-    """Blend ``gtiles`` tiles per grid step: each grid step costs a fixed
-    ~2 us of pipeline overhead on v5e (3600 single-tile steps = ~7 ms of
-    pure dispatch), so tiles are batched per step and unrolled."""
+def _surfel_z(chunk, px, py):
+    """Per-pixel plane depth z = 1 / (ndx px + ndy py + nd0); z_ok gates
+    z > 0.01 (the XLA arbiter's gate with its sign guard)."""
+    c = lambda i: chunk[:, i:i + 1]
+    ndx, ndy, nd0 = _ND_COLS
+    s = c(ndx) * px + c(ndy) * py + c(nd0)
+    z_ok = (s > 1e-6) & (s < 100.0)
+    z = jnp.where(z_ok, 1.0 / jnp.where(z_ok, s, 1.0), 0.0)
+    return s, z, z_ok
+
+
+def _lane_onehot(c: int):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, NCH), 1)
+    return (lane == c).astype(jnp.float32)
+
+
+def _grid_tiles(T: int) -> int:
+    """Tiles per grid step: largest power of two <= 16 dividing T (each
+    grid step costs ~2 us of fixed pipeline overhead on v5e)."""
+    for g in (16, 8, 4, 2):
+        if T % g == 0:
+            return g
+    return 1
+
+
+# ---------------------------------------------------------------------------
+# Forward kernels
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel_3dgs(counts_ref, attrs_ref, out_ref, trans_ref, *,
+                     ntx: int, tile: int, kmax: int, sup: int,
+                     gtiles: int, fast: bool):
+    """Blend ``gtiles`` tiles per grid step (batched to amortize the
+    fixed ~2 us/step pipeline overhead)."""
     P = tile * tile
     sb = _superblock(kmax, sup)
     tri_s = _tri(True, sb)
@@ -218,7 +303,7 @@ def _fwd_kernel(counts_ref, attrs_ref, out_ref, trans_ref, *, ntx: int,
 
             def compute(_):
                 chunk = attrs_ref[g, pl.ds(k0, sb), :]      # (sb, 16)
-                alpha, _, _, _, _ = _super_alpha(chunk, px, py)
+                alpha, _, _, _, _ = _super_alpha(chunk, px, py, "3dgs")
                 one_m = 1.0 - alpha
                 excl = _excl_prod(one_m, tri_s, fast)       # (sb, P)
                 w = alpha * excl * trans                    # blend weights
@@ -239,151 +324,279 @@ def _fwd_kernel(counts_ref, attrs_ref, out_ref, trans_ref, *, ntx: int,
         trans_ref[g] = trans
 
 
-def _lane_onehot(c: int):
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, NCH), 1)
-    return (lane == c).astype(jnp.float32)
+def _fwd_kernel_surfel(counts_ref, attrs_ref, out_ref, trans_ref, med_ref,
+                       *, ntx: int, tile: int, kmax: int, sup: int,
+                       gtiles: int, fast: bool):
+    P = tile * tile
+    sb = _superblock(kmax, sup)
+    tri_s = _tri(True, sb)
+    row = jax.lax.broadcasted_iota(jnp.int32, (NCH, 1), 0)
+    lt6 = (row < 6).astype(jnp.float32)
+    oh6 = (row == 6).astype(jnp.float32)
+    oh7 = (row == 7).astype(jnp.float32)
+
+    for g in range(gtiles):
+        t = pl.program_id(0) * gtiles + g
+        px, py = _pixel_grid(t, ntx, tile)
+        cnt = counts_ref[t]
+
+        def super_body(j, carry, px=px, py=py, cnt=cnt, g=g):
+            def compute(c):
+                acc, acc_d, acc_a, trans, med, med_set = c
+                k0 = pl.multiple_of(j * sb, sb)
+                chunk = attrs_ref[g, pl.ds(k0, sb), :]
+                _, z, z_ok = _surfel_z(chunk, px, py)
+                alpha, _, _, _, _ = _super_alpha(chunk, px, py, "surfel")
+                alpha = jnp.where(z_ok, alpha, 0.0)
+                one_m = 1.0 - alpha
+                excl = _excl_prod(one_m, tri_s, fast)
+                T_in = excl * trans
+                w = alpha * T_in
+                acc2 = acc + _split_dot(chunk, w, ((0,), (0,)), fast)
+                acc_d2 = acc_d + jnp.sum(w * z, axis=0, keepdims=True)
+                acc_a2 = acc_a + jnp.sum(w, axis=0, keepdims=True)
+                # median depth: the slot where transmittance crosses 0.5
+                T_out = T_in * one_m
+                crossing = (T_in > 0.5) & (T_out <= 0.5)
+                med_c = jnp.sum(jnp.where(crossing, z, 0.0), axis=0,
+                                keepdims=True)
+                has = jnp.max(crossing.astype(jnp.float32), axis=0,
+                              keepdims=True)
+                med2 = jnp.where((med_set < 0.5) & (has > 0.5), med_c, med)
+                trans2 = trans * (excl[sb - 1:sb, :] * one_m[sb - 1:sb, :])
+                return (acc2, acc_d2, acc_a2, trans2, med2,
+                        jnp.maximum(med_set, has))
+
+            live = (jnp.max(carry[3]) > TRANS_EPS) & (j * sb < cnt)
+            return jax.lax.cond(live, compute, lambda c: c, carry)
+
+        z1 = jnp.zeros((1, P), jnp.float32)
+        acc, acc_d, acc_a, trans, med, _ = jax.lax.fori_loop(
+            0, kmax // sb, super_body,
+            (jnp.zeros((NCH, P), jnp.float32), z1, z1,
+             jnp.ones((1, P), jnp.float32), z1, z1))
+        out_ref[g] = acc * lt6 + oh6 * acc_d + oh7 * acc_a
+        trans_ref[g] = trans
+        med_ref[g] = med
 
 
-def _bwd_kernel(counts_ref, attrs_ref, gout_ref, gtrans_ref, rho_ref,
-                transf_ref, dattrs_ref, *, ntx: int, tile: int, kmax: int,
-                sup: int, gtiles: int, fast: bool):
-    """Analytic backward, single front-to-back pass with the suffix
-    identity
-        dL/da_i(p) = T_i phi_i - (rho - sigma_i) / (1 - a_i)
-                     - g_trans trans_final / (1 - a_i)
-    where phi_i = sum_c g_c attr_c_i, rho = sum_c g_c O_c (computed in
-    XLA from the saved forward outputs), sigma_i = running sum of
-    w_j phi_j (j <= i), trans_final = saved forward transmittance.
-    ``gtiles`` tiles are processed per grid step (see _fwd_kernel)."""
+# ---------------------------------------------------------------------------
+# Backward kernels (single front-to-back pass, suffix identity)
+# ---------------------------------------------------------------------------
+# dL/da_i(p) = T_i phi_i - (rho - sigma_i)/(1 - a_i)
+#              - g_trans trans_final/(1 - a_i)
+# where phi_i = sum_c g_c attr_c_i (+ per-pixel depth/alpha terms in
+# surfel mode), rho = sum_c g_c O_c (computed in XLA from the saved
+# forward outputs), sigma_i = running sum of w_j phi_j (j <= i),
+# trans_final = saved forward transmittance.
+
+def _geom_grads(chunk, g_or_gp, w, dq, dx, dy, dexp, mode: str, fast):
+    """Direct channel grads (sb, 16): one MXU matmul for the blended
+    attribute columns + one-hot outer products for the geometry columns.
+    q = A dx^2 + C dy^2 + 2B dx dy, dx = px - mu_x:
+    dq/dmu_x = -(2A dx + 2B dy), dq/dmu_y = -(2C dy + 2B dx)."""
+    mx, my, ca, cb, cc, op = _GEOM_COLS[mode]
+    col = lambda c: chunk[:, c:c + 1]
+    red = lambda x: jnp.sum(x, axis=1, keepdims=True)     # (sb, 1)
+    dopa = red(dexp)
+    dA = red(dq * dx * dx)
+    dB = red(2.0 * dq * dx * dy)
+    dC = red(dq * dy * dy)
+    dmux = red(dq * (-2.0 * col(ca) * dx - 2.0 * col(cb) * dy))
+    dmuy = red(dq * (-2.0 * col(cc) * dy - 2.0 * col(cb) * dx))
+    d_chunk = _split_dot(w, g_or_gp, ((1,), (1,)), fast)
+    return (d_chunk
+            + dmux * _lane_onehot(mx) + dmuy * _lane_onehot(my)
+            + dA * _lane_onehot(ca) + dB * _lane_onehot(cb)
+            + dC * _lane_onehot(cc) + dopa * _lane_onehot(op))
+
+
+def _bwd_kernel_3dgs(counts_ref, attrs_ref, gout_ref, gtrans_ref, rho_ref,
+                     transf_ref, dattrs_ref, *, ntx: int, tile: int,
+                     kmax: int, sup: int, gtiles: int, fast: bool):
     P = tile * tile
     sb = _superblock(kmax, sup)
     tri_s = _tri(True, sb)
     tri_i = _tri(False, sb)
 
     for gi_ in range(gtiles):
-        _bwd_tile(counts_ref, attrs_ref, gout_ref, gtrans_ref, rho_ref,
-                  transf_ref, dattrs_ref, gi_, ntx, tile, kmax, sb, tri_s,
-                  tri_i, fast)
+        t = pl.program_id(0) * gtiles + gi_
+        px, py = _pixel_grid(t, ntx, tile)
+        cnt = counts_ref[t]
+        g = gout_ref[gi_]                       # (16, P)
+        g_trans = gtrans_ref[gi_]               # (1, P)
+        rho = rho_ref[gi_]                      # (1, P)
+        trans_final = transf_ref[gi_]           # (1, P)
+
+        def super_body(j, carry, px=px, py=py, cnt=cnt, gi_=gi_, g=g,
+                       g_trans=g_trans, rho=rho, trans_final=trans_final):
+            k0 = pl.multiple_of(j * sb, sb)
+
+            def compute(c):
+                sigma, trans = c
+                chunk = attrs_ref[gi_, pl.ds(k0, sb), :]     # (sb, 16)
+                alpha, dx, dy, q, unclamped = _super_alpha(
+                    chunk, px, py, "3dgs")
+                one_m = 1.0 - alpha
+                one_m_safe = jnp.maximum(one_m, 1e-3)
+                excl = _excl_prod(one_m, tri_s, fast)
+                T_i = excl * trans                           # (sb, P)
+                w = alpha * T_i
+                # phi (sb, P) = chunk @ g on the MXU
+                phi = _split_dot(chunk, g, ((1,), (0,)), fast)
+                sigma_i = sigma + _tri_matmul(tri_i, w * phi, fast)
+                da = (phi * T_i - (rho - sigma_i) / one_m_safe
+                      - g_trans * trans_final / one_m_safe)
+                active = alpha > 0.0
+                da = jnp.where(active, da, 0.0)
+                # alpha = min(opa*exp(-.5q), 0.999): zero grad if clamped
+                dq = jnp.where(unclamped, -0.5 * alpha * da, 0.0)
+                dexp = jnp.where(active & unclamped,
+                                 jnp.exp(-0.5 * q) * da, 0.0)
+                d_chunk = _geom_grads(chunk, g, w, dq, dx, dy, dexp,
+                                      "3dgs", fast)
+                dattrs_ref[gi_, pl.ds(k0, sb), :] = d_chunk
+                return (sigma_i[sb - 1:sb, :],
+                        trans * (excl[sb - 1:sb, :] * one_m[sb - 1:sb, :]))
+
+            def skip(c):
+                dattrs_ref[gi_, pl.ds(k0, sb), :] = jnp.zeros(
+                    (sb, NCH), jnp.float32)
+                return c
+
+            live = (jnp.max(carry[1]) > TRANS_EPS) & (j * sb < cnt)
+            return jax.lax.cond(live, compute, skip, carry)
+
+        jax.lax.fori_loop(0, kmax // sb, super_body,
+                          (jnp.zeros((1, P), jnp.float32),
+                           jnp.ones((1, P), jnp.float32)))
 
 
-def _bwd_tile(counts_ref, attrs_ref, gout_ref, gtrans_ref, rho_ref,
-              transf_ref, dattrs_ref, gi_, ntx, tile, kmax, sb, tri_s,
-              tri_i, fast):
+def _bwd_kernel_surfel(counts_ref, attrs_ref, gout_ref, gtrans_ref,
+                       rho_ref, transf_ref, dattrs_ref, *, ntx: int,
+                       tile: int, kmax: int, sup: int, gtiles: int,
+                       fast: bool):
     P = tile * tile
-    gtiles = gout_ref.shape[0]
-    t = pl.program_id(0) * gtiles + gi_
-    px, py = _pixel_grid(t, ntx, tile)
-    cnt = counts_ref[t]
-    g = gout_ref[gi_]                       # (16, P)
-    g_trans = gtrans_ref[gi_]               # (1, P)
-    rho = rho_ref[gi_]                      # (1, P)
-    trans_final = transf_ref[gi_]           # (1, P)
+    sb = _superblock(kmax, sup)
+    tri_s = _tri(True, sb)
+    tri_i = _tri(False, sb)
+    row = jax.lax.broadcasted_iota(jnp.int32, (NCH, 1), 0)
+    lt6 = (row < 6).astype(jnp.float32)
+    ndx_c, ndy_c, nd0_c = _ND_COLS
 
-    def super_body(j, carry):
-        k0 = pl.multiple_of(j * sb, sb)
+    for gi_ in range(gtiles):
+        t = pl.program_id(0) * gtiles + gi_
+        px, py = _pixel_grid(t, ntx, tile)
+        cnt = counts_ref[t]
+        g = gout_ref[gi_]
+        gp = g * lt6                             # blend-channel rows only
+        g6 = g[6:7, :]                           # depth cotangent (1, P)
+        g7 = g[7:8, :]                           # alpha cotangent (1, P)
+        g_trans = gtrans_ref[gi_]
+        rho = rho_ref[gi_]
+        trans_final = transf_ref[gi_]
 
-        def compute(c):
-            sigma, trans = c
-            chunk = attrs_ref[gi_, pl.ds(k0, sb), :]     # (sb, 16)
-            alpha, dx, dy, q, unclamped = _super_alpha(chunk, px, py)
-            one_m = 1.0 - alpha
-            one_m_safe = jnp.maximum(one_m, 1e-3)
-            excl = _excl_prod(one_m, tri_s, fast)
-            T_i = excl * trans                               # (sb, P)
-            w = alpha * T_i
-            # phi (sb, P) = chunk @ g on the MXU
-            phi = _split_dot(chunk, g, ((1,), (0,)), fast)
-            # inclusive prefix sum of w*phi as one triangular MXU matmul
-            sigma_i = sigma + _tri_matmul(tri_i, w * phi, fast)  # (sb, P)
-            da = (phi * T_i - (rho - sigma_i) / one_m_safe
-                  - g_trans * trans_final / one_m_safe)
-            active = alpha > 0.0
-            da = jnp.where(active, da, 0.0)
-            # alpha = min(opa*exp(-.5q), 0.999): zero grad where clamped
-            dq = jnp.where(unclamped, -0.5 * alpha * da, 0.0)
-            dexp = jnp.where(active & unclamped,
-                             jnp.exp(-0.5 * q) * da, 0.0)
-            col = lambda cc: chunk[:, cc:cc + 1]
-            red = lambda x: jnp.sum(x, axis=1, keepdims=True)  # (sb,1)
-            dopa = red(dexp)
-            dA = red(dq * dx * dx)
-            dB = red(2.0 * dq * dx * dy)
-            dC = red(dq * dy * dy)
-            # q = A dx^2 + C dy^2 + 2B dx dy, dx = px - mu_x:
-            # dq/dmu_x = -(2A dx + 2B dy), dq/dmu_y = -(2C dy + 2B dx)
-            dmux = red(dq * (-2.0 * col(10) * dx - 2.0 * col(11) * dy))
-            dmuy = red(dq * (-2.0 * col(12) * dy - 2.0 * col(11) * dx))
+        def super_body(j, carry, px=px, py=py, cnt=cnt, gi_=gi_, gp=gp,
+                       g6=g6, g7=g7, g_trans=g_trans, rho=rho,
+                       trans_final=trans_final):
+            k0 = pl.multiple_of(j * sb, sb)
 
-            # direct channel grads (sb, 16) = w @ g^T on the MXU;
-            # column 7 is the constant-1 alpha row (gradient dropped by
-            # the attr-matrix vjp), columns 8-13 add the geometry grads
-            # as one-hot outer products (no partial stores).
-            d_chunk = _split_dot(w, g, ((1,), (1,)), fast)
-            d_chunk = (d_chunk
-                       + dmux * _lane_onehot(8) + dmuy * _lane_onehot(9)
-                       + dA * _lane_onehot(10) + dB * _lane_onehot(11)
-                       + dC * _lane_onehot(12) + dopa * _lane_onehot(13))
-            dattrs_ref[gi_, pl.ds(k0, sb), :] = d_chunk
-            return (sigma_i[sb - 1:sb, :],
-                    trans * (excl[sb - 1:sb, :]
-                             * one_m[sb - 1:sb, :]))
+            def compute(c):
+                sigma, trans = c
+                chunk = attrs_ref[gi_, pl.ds(k0, sb), :]
+                _, z, z_ok = _surfel_z(chunk, px, py)
+                alpha, dx, dy, q, unclamped = _super_alpha(
+                    chunk, px, py, "surfel")
+                alpha = jnp.where(z_ok, alpha, 0.0)
+                one_m = 1.0 - alpha
+                one_m_safe = jnp.maximum(one_m, 1e-3)
+                excl = _excl_prod(one_m, tri_s, fast)
+                T_i = excl * trans
+                w = alpha * T_i
+                # phi includes the per-pixel depth row and the const
+                # alpha row (out_6 = sum w z, out_7 = sum w)
+                phi = (_split_dot(chunk, gp, ((1,), (0,)), fast)
+                       + g6 * z + g7)
+                sigma_i = sigma + _tri_matmul(tri_i, w * phi, fast)
+                da = (phi * T_i - (rho - sigma_i) / one_m_safe
+                      - g_trans * trans_final / one_m_safe)
+                active = alpha > 0.0
+                da = jnp.where(active, da, 0.0)
+                dq = jnp.where(unclamped, -0.5 * alpha * da, 0.0)
+                dexp = jnp.where(active & unclamped,
+                                 jnp.exp(-0.5 * q) * da, 0.0)
+                d_chunk = _geom_grads(chunk, gp, w, dq, dx, dy, dexp,
+                                      "surfel", fast)
+                # direct depth grad: d out6 / d z_i = w_i g6; z = 1/s
+                ds = jnp.where(z_ok, -(z * z) * g6 * w, 0.0)
+                red = lambda x: jnp.sum(x, axis=1, keepdims=True)
+                d_chunk = (d_chunk
+                           + red(ds * px) * _lane_onehot(ndx_c)
+                           + red(ds * py) * _lane_onehot(ndy_c)
+                           + red(ds) * _lane_onehot(nd0_c))
+                dattrs_ref[gi_, pl.ds(k0, sb), :] = d_chunk
+                return (sigma_i[sb - 1:sb, :],
+                        trans * (excl[sb - 1:sb, :] * one_m[sb - 1:sb, :]))
 
-        def skip(c):
-            dattrs_ref[gi_, pl.ds(k0, sb), :] = jnp.zeros(
-                (sb, NCH), jnp.float32)
-            return c
+            def skip(c):
+                dattrs_ref[gi_, pl.ds(k0, sb), :] = jnp.zeros(
+                    (sb, NCH), jnp.float32)
+                return c
 
-        live = (jnp.max(carry[1]) > TRANS_EPS) & (j * sb < cnt)
-        return jax.lax.cond(live, compute, skip, carry)
+            live = (jnp.max(carry[1]) > TRANS_EPS) & (j * sb < cnt)
+            return jax.lax.cond(live, compute, skip, carry)
 
-    jax.lax.fori_loop(0, kmax // sb, super_body,
-                      (jnp.zeros((1, P), jnp.float32),
-                       jnp.ones((1, P), jnp.float32)))
-
-
-def _grid_tiles(T: int) -> int:
-    """Tiles per grid step: largest power of two <= 16 dividing T."""
-    for g in (16, 8, 4, 2):
-        if T % g == 0:
-            return g
-    return 1
+        jax.lax.fori_loop(0, kmax // sb, super_body,
+                          (jnp.zeros((1, P), jnp.float32),
+                           jnp.ones((1, P), jnp.float32)))
 
 
-def _blend_fwd_call(attrs, counts, ntx, nty, tile, sup,
+# ---------------------------------------------------------------------------
+# pallas_call wrappers + custom_vjp
+# ---------------------------------------------------------------------------
+
+def _blend_fwd_call(attrs, counts, ntx, nty, tile, sup, mode="3dgs",
                     fast: bool = False):
     T, kmax, _ = attrs.shape
     P = tile * tile
     G = _grid_tiles(T)
-    kern = functools.partial(_fwd_kernel, ntx=ntx, tile=tile, kmax=kmax,
-                             sup=sup, gtiles=G, fast=fast)
-    out, trans = pl.pallas_call(
+    spec_p = lambda c: pl.BlockSpec((G, c, P), lambda t: (t, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    out_shapes = [jax.ShapeDtypeStruct((T, NCH, P), jnp.float32),
+                  jax.ShapeDtypeStruct((T, 1, P), jnp.float32)]
+    out_specs = [spec_p(NCH), spec_p(1)]
+    if mode == "surfel":
+        kern = functools.partial(_fwd_kernel_surfel, ntx=ntx, tile=tile,
+                                 kmax=kmax, sup=sup, gtiles=G, fast=fast)
+        out_shapes.append(jax.ShapeDtypeStruct((T, 1, P), jnp.float32))
+        out_specs.append(spec_p(1))
+    else:
+        kern = functools.partial(_fwd_kernel_3dgs, ntx=ntx, tile=tile,
+                                 kmax=kmax, sup=sup, gtiles=G, fast=fast)
+    outs = pl.pallas_call(
         kern,
         grid=(T // G,),
         in_specs=[pl.BlockSpec((T,), lambda t: (0,),
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec((G, kmax, NCH), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(
-            pl.BlockSpec((G, NCH, P), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1, P), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((T, NCH, P), jnp.float32),
-            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
         interpret=INTERPRET,
     )(counts, attrs)
-    return out, trans
+    if mode == "surfel":
+        return outs
+    return outs[0], outs[1], jnp.zeros_like(outs[1])
 
 
 def _blend_bwd_call(attrs, counts, g_out, g_trans, rho, trans_final, ntx,
-                    nty, tile, sup, fast: bool = False):
+                    nty, tile, sup, mode="3dgs", fast: bool = False):
     T, kmax, _ = attrs.shape
     P = tile * tile
     G = _grid_tiles(T)
-    kern = functools.partial(_bwd_kernel, ntx=ntx, tile=tile, kmax=kmax,
+    kern_fn = (_bwd_kernel_surfel if mode == "surfel"
+               else _bwd_kernel_3dgs)
+    kern = functools.partial(kern_fn, ntx=ntx, tile=tile, kmax=kmax,
                              sup=sup, gtiles=G, fast=fast)
     specs_p = lambda c: pl.BlockSpec((G, c, P), lambda t: (t, 0, 0),
                                      memory_space=pltpu.VMEM)
@@ -404,34 +617,34 @@ def _blend_bwd_call(attrs, counts, g_out, g_trans, rho, trans_final, ntx,
     return dattrs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def _blend_gaussians(attr16, bins: TileBins, ntx: int, nty: int,
-                     tile: int, sup: int, small_span: int, max_span: int,
+                     tile: int, sup: int, mode: str = "3dgs",
                      fast: bool = False):
     """(N, 16) attrs + bins -> (T, 16, P) blended channels, (T, 1, P)
-    final transmittance. One custom_vjp over pack+blend so the backward
-    aggregates per-slot grads with a single scatter-add (see
-    _unpack_grads; a collision-free scatter-set measured 5x worse)."""
+    final transmittance, (T, 1, P) median depth (surfel; zeros for 3dgs,
+    forward-only either way). One custom_vjp over pack+blend so the
+    backward aggregates per-slot grads with a single scatter-add."""
     attrs = _pack_table(attr16, bins)
-    return _blend_fwd_call(attrs, bins.counts, ntx, nty, tile, sup, fast)
+    return _blend_fwd_call(attrs, bins.counts, ntx, nty, tile, sup, mode,
+                           fast)
 
 
-def _blend_g_fwd(attr16, bins, ntx, nty, tile, sup, small_span, max_span,
+def _blend_g_fwd(attr16, bins, ntx, nty, tile, sup, mode="3dgs",
                  fast=False):
     attrs = _pack_table(attr16, bins)
-    out, trans = _blend_fwd_call(attrs, bins.counts, ntx, nty, tile, sup,
-                                 fast)
-    return (out, trans), (attrs, bins, out, trans, attr16.shape[0])
+    out, trans, med = _blend_fwd_call(attrs, bins.counts, ntx, nty, tile,
+                                      sup, mode, fast)
+    return (out, trans, med), (attrs, bins, out, trans, attr16.shape[0])
 
 
-def _blend_g_bwd(ntx, nty, tile, sup, small_span, max_span, fast, res,
-                 cotangents):
+def _blend_g_bwd(ntx, nty, tile, sup, mode, fast, res, cotangents):
     attrs, bins, out, trans, n = res
-    g_out, g_trans = cotangents
+    g_out, g_trans, _ = cotangents    # median depth is forward-only
     # rho(p) = sum_c g_c O_c — free from the saved outputs
     rho = jnp.sum(g_out * out, axis=1, keepdims=True)     # (T, 1, P)
     dtable = _blend_bwd_call(attrs, bins.counts, g_out, g_trans, rho,
-                             trans, ntx, nty, tile, sup, fast)
+                             trans, ntx, nty, tile, sup, mode, fast)
     d_attr16 = _unpack_grads(dtable, bins, n)
     return (d_attr16, None)
 
@@ -439,14 +652,16 @@ def _blend_g_bwd(ntx, nty, tile, sup, small_span, max_span, fast, res,
 _blend_gaussians.defvjp(_blend_g_fwd, _blend_g_bwd)
 
 
-def _contrib_kernel(counts_ref, attrs_ref, contrib_ref, *, ntx: int,
-                    tile: int, kmax: int, sup: int, gtiles: int):
-    """Per-slot summed blend weights (T, Kmax): contribution of every
-    table slot to its tile (reference rasterizer's per-Gaussian
-    ``contributions``, gaussian_renderer/__init__.py:313-347, used to
-    gate the GS-SDF consistency loss at mapper.py:1364-1366).
+# ---------------------------------------------------------------------------
+# Per-gaussian blend contributions (forward-only)
+# ---------------------------------------------------------------------------
+
+def _contrib_kernel(counts_ref, attrs_ref, contrib_ref, *, mode: str,
+                    ntx: int, tile: int, kmax: int, sup: int, gtiles: int):
+    """Per-slot summed blend weights (T, Kmax): the reference rasterizer's
+    per-Gaussian ``contributions`` (gaussian_renderer/__init__.py:313-347,
+    used to gate the GS-SDF consistency loss at mapper.py:1364-1366).
     Forward-only; aggregated per gaussian by one scatter-add outside."""
-    P = tile * tile
     sb = _superblock(kmax, sup)
     tri_s = _tri(True, sb)
     for g in range(gtiles):
@@ -459,7 +674,10 @@ def _contrib_kernel(counts_ref, attrs_ref, contrib_ref, *, ntx: int,
 
             def compute(tr):
                 chunk = attrs_ref[g, pl.ds(k0, sb), :]
-                alpha, _, _, _, _ = _super_alpha(chunk, px, py)
+                alpha, _, _, _, _ = _super_alpha(chunk, px, py, mode)
+                if mode == "surfel":
+                    _, _, z_ok = _surfel_z(chunk, px, py)
+                    alpha = jnp.where(z_ok, alpha, 0.0)
                 one_m = 1.0 - alpha
                 excl = _excl_prod(one_m, tri_s, True)
                 w = alpha * excl * tr
@@ -467,31 +685,33 @@ def _contrib_kernel(counts_ref, attrs_ref, contrib_ref, *, ntx: int,
                 return tr * (excl[sb - 1:sb, :] * one_m[sb - 1:sb, :])
 
             def skip(tr):
-                contrib_ref[g, pl.ds(k0, sb)] = jnp.zeros((sb,), jnp.float32)
+                contrib_ref[g, pl.ds(k0, sb)] = jnp.zeros((sb,),
+                                                          jnp.float32)
                 return tr
 
             live = (jnp.max(trans) > TRANS_EPS) & (j * sb < cnt)
             return jax.lax.cond(live, compute, skip, trans)
 
         jax.lax.fori_loop(0, kmax // sb, super_body,
-                          jnp.ones((1, P), jnp.float32))
+                          jnp.ones((1, tile * tile), jnp.float32))
 
 
-def blend_contributions(p: ProjectedGaussians, bins: TileBins,
-                        width: int, height: int, tile: int = 16,
-                        superblock: int = 64) -> jnp.ndarray:
+def blend_contributions(attr16: jnp.ndarray, bins: TileBins,
+                        width: int, height: int,
+                        tile: int = 16, superblock: int = 64,
+                        mode: str = "3dgs") -> jnp.ndarray:
     """(N,) summed blend weight per gaussian over all pixels."""
     ntx = (width + tile - 1) // tile
     nty = (height + tile - 1) // tile
     T = ntx * nty
-    n = p.means2d.shape[0]
-    attr16 = jax.lax.stop_gradient(gauss_attr_matrix(p))
-    attrs = _pack_table(attr16, bins)
+    n = attr16.shape[0]
+    attrs = _pack_table(jax.lax.stop_gradient(attr16), bins)
     kmax = attrs.shape[1]
     G = _grid_tiles(T)
-    kern = functools.partial(_contrib_kernel, ntx=ntx, tile=tile,
-                             kmax=kmax, sup=superblock, gtiles=G)
-    ctbl = pl.pallas_call(
+    kern = functools.partial(_contrib_kernel, mode=mode, ntx=ntx,
+                             tile=tile, kmax=kmax, sup=superblock,
+                             gtiles=G)
+    ctab = pl.pallas_call(
         kern,
         grid=(T // G,),
         in_specs=[pl.BlockSpec((T,), lambda t: (0,),
@@ -504,7 +724,7 @@ def blend_contributions(p: ProjectedGaussians, bins: TileBins,
         interpret=INTERPRET,
     )(bins.counts, attrs)
     idx = jnp.minimum(bins.gauss_tbl.reshape(-1), n - 1)
-    flat = jnp.where(bins.mask.reshape(-1), ctbl.reshape(-1), 0.0)
+    flat = jnp.where(bins.mask.reshape(-1), ctab.reshape(-1), 0.0)
     return jnp.zeros((n,)).at[idx].add(flat)
 
 
@@ -519,34 +739,49 @@ def rasterize_pallas(
     tile: int = 16, max_span: int = 36, max_per_tile: int = 512,
     normalize_depth: bool = True, superblock: int = SUPER,
     precision: str = "high", with_contrib: bool = False,
-) -> RenderOutput:
+    mode: str = "3dgs", bins: TileBins | None = None,
+    return_bins: bool = False,
+):
     """Drop-in rasterize() with the fused Pallas blend. Forward output
     matches ops.rasterize.rasterize; gradients flow to all gaussian
     parameters and (theta, rho). max_per_tile must be divisible by a
-    power-of-two superblock >= 8. ``superblock`` sets the blend-loop
-    granularity: smaller blocks terminate earlier on saturated tiles
-    (transmittance < TRANS_EPS) at the cost of smaller MXU tiles.
+    power-of-two superblock >= 8.
+
+    ``mode``: "3dgs" or "surfel" (the reference default gs_type; per-pixel
+    plane depth, blended normals, median depth). 2DGS stays on the XLA
+    path.
     ``precision``: "high" = two/three-pass bf16-split MXU dots (~f32,
-    default, what the parity tests pin); "fast" = single-pass bf16 dots
-    (~2^-8 relative blend error — smaller than the CUDA reference's own
-    run-to-run nondeterminism of +-0.1-0.3 PSNR, utils/mapper.py:1702)."""
+    what the parity tests pin); "fast" = single-pass bf16 dots (~2^-8
+    relative blend error — smaller than the CUDA reference's own
+    run-to-run nondeterminism of +-0.1-0.3 PSNR, utils/mapper.py:1702).
+    ``bins``: precomputed TileBins to reuse (training-loop amortization);
+    None = bin here. ``return_bins``: also return (bins, means2d snapshot)
+    for host-side caching + drift guards.
+    """
     _superblock(max_per_tile, superblock)   # validates divisibility
     if theta is not None:
         T_c_w = apply_pose_delta(T_c_w, theta, rho)
     if bg is None:
         bg = jnp.zeros(3)
-    p = project_gaussians(means3d, quats, scales, opacities, colors, valid,
-                          T_c_w, K, width, height)
-    p_struct = jax.tree.map(jax.lax.stop_gradient, p)
-    bins = bin_gaussians(p_struct, width, height, tile=tile,
-                         max_span=max_span, max_per_tile=max_per_tile)
+    if mode == "surfel":
+        ps = project_surfels(means3d, quats, scales, opacities, colors,
+                             valid, T_c_w, K, width, height, mode="surfel")
+        base = jax.tree.map(jax.lax.stop_gradient, ps.base)
+        attr16 = surfel_attr_matrix(ps, K)
+    else:
+        p = project_gaussians(means3d, quats, scales, opacities, colors,
+                              valid, T_c_w, K, width, height)
+        base = jax.tree.map(jax.lax.stop_gradient, p)
+        attr16 = gauss_attr_matrix(p)
+    if bins is None:
+        bins = bin_gaussians(base, width, height, tile=tile,
+                             max_span=max_span, max_per_tile=max_per_tile)
 
     ntx = (width + tile - 1) // tile
     nty = (height + tile - 1) // tile
-    attr16 = gauss_attr_matrix(p)
-    out, trans = _blend_gaussians(attr16, bins, ntx, nty, tile,
-                                  superblock, min(9, max_span), max_span,
-                                  precision == "fast")
+    out, trans, med = _blend_gaussians(attr16, bins, ntx, nty, tile,
+                                       superblock, mode,
+                                       precision == "fast")
 
     def untile(x):   # (T, C, P) -> (H, W, C)
         c = x.shape[1]
@@ -557,14 +792,25 @@ def rasterize_pallas(
     img = untile(out)
     tr = untile(trans)[..., 0]
     rgb = img[..., 0:3] + tr[..., None] * bg
-    alpha = img[..., 7]
-    depth = img[..., 3]
+    if mode == "surfel":
+        normal = img[..., 3:6]
+        depth = img[..., 6]
+        alpha = img[..., 7]
+        depth_median = untile(med)[..., 0]
+    else:
+        depth = img[..., 3]
+        normal = img[..., 4:7]
+        alpha = img[..., 7]
+        depth_median = None
     if normalize_depth:
         depth = depth / jnp.maximum(alpha, 0.05)  # see blend_tiles note
-    normal = img[..., 4:7]
-    contrib = (blend_contributions(p_struct, bins, width, height,
-                                   tile=tile, superblock=superblock)
+    contrib = (blend_contributions(attr16, bins, width, height,
+                                   tile=tile, superblock=superblock,
+                                   mode=mode)
                if with_contrib else jnp.zeros(means3d.shape[0]))
-    return RenderOutput(rgb=rgb, depth=depth, alpha=alpha, normal=normal,
-                        contrib=contrib,
-                        n_overflow=bins.n_overflow)
+    ret = RenderOutput(rgb=rgb, depth=depth, alpha=alpha, normal=normal,
+                       contrib=contrib, n_overflow=bins.n_overflow,
+                       depth_median=depth_median)
+    if return_bins:
+        return ret, bins, jax.lax.stop_gradient(base.means2d)
+    return ret

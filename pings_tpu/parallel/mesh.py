@@ -212,7 +212,8 @@ def make_dp_train_step(cfg, optimizer, mesh: Mesh, width: int, height: int,
             valid=(local_idx < m.capacity) & m.valid_gs_mask[local_idx])
         res = render(local, d, cam, width, height, bg=bg,
                      spawn_kwargs=spawn_kwargs, tile=cfg.tile_size,
-                     max_per_tile=cfg.max_gs_per_tile, chunk=32)
+                     max_per_tile=cfg.max_gs_per_tile, chunk=32,
+                     gs_type=cfg.gs_type, precision=cfg.raster_precision)
         l1 = losses.l1_masked(res.rgb, cam.rgb)
         ds = dssim_loss(res.rgb, cam.rgb)
         photo = (1 - cfg.lambda_ssim) * l1 + cfg.lambda_ssim * ds

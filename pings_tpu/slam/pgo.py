@@ -45,6 +45,67 @@ def _adjoint_inv_approx(err: np.ndarray) -> np.ndarray:
     return J
 
 
+# -- batched SE(3) helpers (f64 numpy; reference-scale graphs need the
+#    per-LM-iteration work to be array ops, not Python factor loops) ------
+
+def _bskew(w: np.ndarray) -> np.ndarray:
+    """(F, 3) -> (F, 3, 3)."""
+    F = w.shape[0]
+    S = np.zeros((F, 3, 3))
+    S[:, 0, 1], S[:, 0, 2] = -w[:, 2], w[:, 1]
+    S[:, 1, 0], S[:, 1, 2] = w[:, 2], -w[:, 0]
+    S[:, 2, 0], S[:, 2, 1] = -w[:, 1], w[:, 0]
+    return S
+
+
+def _bse3_inv(T: np.ndarray) -> np.ndarray:
+    Ti = np.tile(np.eye(4), (T.shape[0], 1, 1))
+    Rt = np.transpose(T[:, :3, :3], (0, 2, 1))
+    Ti[:, :3, :3] = Rt
+    Ti[:, :3, 3] = -np.einsum("fij,fj->fi", Rt, T[:, :3, 3])
+    return Ti
+
+
+def _bse3_log(T: np.ndarray) -> np.ndarray:
+    """(F, 4, 4) -> (F, 6) [rho, phi]; scipy Rotation handles the
+    rotation log robustly incl. near pi."""
+    from scipy.spatial.transform import Rotation
+
+    phi = Rotation.from_matrix(T[:, :3, :3]).as_rotvec()
+    th = np.linalg.norm(phi, axis=-1)
+    K = _bskew(phi)
+    KK = np.einsum("fij,fjk->fik", K, K)
+    half = th / 2.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cot = half / np.tan(half)
+        coef = (1.0 - cot) / np.maximum(th, 1e-12) ** 2
+    coef = np.where(th < 1e-6, 1.0 / 12.0, coef)
+    Vinv = (np.eye(3)[None] - 0.5 * K + coef[:, None, None] * KK)
+    rho = np.einsum("fij,fj->fi", Vinv, T[:, :3, 3])
+    return np.concatenate([rho, phi], axis=-1)
+
+
+def _bse3_exp(xi: np.ndarray) -> np.ndarray:
+    """(F, 6) -> (F, 4, 4)."""
+    from scipy.spatial.transform import Rotation
+
+    rho, phi = xi[:, :3], xi[:, 3:]
+    th = np.linalg.norm(phi, axis=-1)
+    R = Rotation.from_rotvec(phi).as_matrix()
+    K = _bskew(phi)
+    KK = np.einsum("fij,fjk->fik", K, K)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        a = (1 - np.cos(th)) / th**2
+        b = (th - np.sin(th)) / th**3
+    a = np.where(th < 1e-6, 0.5, a)
+    b = np.where(th < 1e-6, 1.0 / 6.0, b)
+    V = np.eye(3)[None] + a[:, None, None] * K + b[:, None, None] * KK
+    T = np.tile(np.eye(4), (xi.shape[0], 1, 1))
+    T[:, :3, :3] = R
+    T[:, :3, 3] = np.einsum("fij,fj->fi", V, rho)
+    return T
+
+
 class PoseGraph:
     """Reference PoseGraphManager equivalent (utils/pgo.py)."""
 
@@ -102,64 +163,96 @@ class PoseGraph:
 
     def optimize(self, max_iter: Optional[int] = None,
                  lm_lambda: float = 1e-6) -> float:
-        """Sparse LM over all poses (node 0 fixed by a strong prior)."""
+        """Sparse LM over all poses (node 0 fixed by a strong prior).
+
+        Fully array-based per-iteration assembly: all F factors'
+        residuals, Jacobians and 6x6 blocks are batched numpy einsums and
+        the normal matrix is built as one COO concatenation (the old
+        per-factor Python triple-loop add_block cost dominated at
+        reference scale — 1e4 frames x every loop closure; reference
+        uses incremental ISAM2, utils/pgo.py:188-232)."""
         n = len(self.poses)
         if n < 2 or not self.factors:
             return 0.0
         max_iter = max_iter or self.cfg.pgo_max_iter
-        poses = [p.copy() for p in self.poses]
+        P = np.stack(self.poses)                         # (n, 4, 4)
+        I = np.array([f.i for f in self.factors])
+        J = np.array([f.j for f in self.factors])
+        Z = np.stack([f.Z for f in self.factors])        # (F, 4, 4)
+        W = np.stack([f.sqrt_info for f in self.factors]) ** 2   # (F, 6)
+        Zinv = _bse3_inv(Z)
+        nf = len(self.factors)
+
+        # static COO index pattern: 4 block sets of (F, 6, 6) + the prior
+        a6 = np.arange(6)
+        blk_r = lambda idx: (6 * idx)[:, None, None] + a6[None, :, None]
+        blk_c = lambda idx: (6 * idx)[:, None, None] + a6[None, None, :]
+        rows = np.concatenate([
+            np.broadcast_to(blk_r(I), (nf, 6, 6)).ravel(),
+            np.broadcast_to(blk_r(J), (nf, 6, 6)).ravel(),
+            np.broadcast_to(blk_r(I), (nf, 6, 6)).ravel(),
+            np.broadcast_to(blk_r(J), (nf, 6, 6)).ravel(),
+            np.repeat(a6, 6),
+        ])
+        cols = np.concatenate([
+            np.broadcast_to(blk_c(I), (nf, 6, 6)).ravel(),
+            np.broadcast_to(blk_c(J), (nf, 6, 6)).ravel(),
+            np.broadcast_to(blk_c(J), (nf, 6, 6)).ravel(),
+            np.broadcast_to(blk_c(I), (nf, 6, 6)).ravel(),
+            np.tile(a6, 6),
+        ])
+
+        Wp = 1e6
+        P0 = self.poses[0].copy()
         last_err = np.inf
         for _ in range(max_iter):
-            rows, cols, vals = [], [], []
-            rhs = np.zeros(6 * n)
-            err_total = 0.0
+            Pinv_I = _bse3_inv(P[I])
+            pred = np.einsum("fij,fjk->fik", Pinv_I, P[J])
+            E = _bse3_log(np.einsum("fij,fjk->fik", Zinv, pred))  # (F, 6)
 
-            def add_block(r, c, B):
-                for a in range(6):
-                    for b in range(6):
-                        rows.append(r + a)
-                        cols.append(c + b)
-                        vals.append(B[a, b])
+            # first-order inverse right Jacobian at the (small) error
+            Jinv = np.tile(np.eye(6), (nf, 1, 1))
+            Sphi = _bskew(E[:, 3:])
+            Srho = _bskew(E[:, :3])
+            Jinv[:, :3, :3] -= 0.5 * Sphi
+            Jinv[:, 3:, 3:] -= 0.5 * Sphi
+            Jinv[:, :3, 3:] -= 0.5 * Srho
+            # d e/d xi_j = Jinv ; d e/d xi_i = -Jinv Ad(T_j^-1 T_i)
+            Tji = np.einsum("fij,fjk->fik", _bse3_inv(P[J]), P[I])
+            R = Tji[:, :3, :3]
+            Ad = np.zeros((nf, 6, 6))
+            Ad[:, :3, :3] = R
+            Ad[:, 3:, 3:] = R
+            Ad[:, :3, 3:] = np.einsum("fij,fjk->fik", _bskew(Tji[:, :3, 3]),
+                                      R)
+            Jj = Jinv
+            Ji = -np.einsum("fij,fjk->fik", Jinv, Ad)
+            WJi = W[:, :, None] * Ji
+            WJj = W[:, :, None] * Jj
+            Hii = np.einsum("fai,faj->fij", Ji, WJi)
+            Hjj = np.einsum("fai,faj->fij", Jj, WJj)
+            Hij = np.einsum("fai,faj->fij", Ji, WJj)
+            Hji = np.einsum("fai,faj->fij", Jj, WJi)
 
-            # prior on node 0 (fix gauge)
-            Wp = 1e6
-            add_block(0, 0, Wp * np.eye(6))
-            e0 = hp.se3_log(hp.se3_inv(self.poses[0]) @ poses[0])
+            e0 = hp.se3_log(hp.se3_inv(P0) @ P[0])
+            vals = np.concatenate([Hii.ravel(), Hjj.ravel(), Hij.ravel(),
+                                   Hji.ravel(), (Wp * np.eye(6)).ravel()])
+            rhs = np.zeros((n, 6))
+            np.add.at(rhs, I, -np.einsum("fai,fa->fi", Ji, W * E))
+            np.add.at(rhs, J, -np.einsum("fai,fa->fi", Jj, W * E))
+            rhs = rhs.reshape(-1)
             rhs[0:6] -= Wp * e0
-            err_total += Wp * float(e0 @ e0)
-
-            for f in self.factors:
-                e = self._factor_error(f, poses)
-                W = f.sqrt_info**2
-                Jinv = _adjoint_inv_approx(e)
-                # d e / d xi_j = Jinv ; d e / d xi_i = -Jinv * Ad(T_j^-1 T_i)
-                Tji = hp.se3_inv(poses[f.j]) @ poses[f.i]
-                Ad = np.zeros((6, 6))
-                R = Tji[:3, :3]
-                Ad[:3, :3] = R
-                Ad[3:, 3:] = R
-                Ad[:3, 3:] = hp.skew(Tji[:3, 3]) @ R
-                Jj = Jinv
-                Ji = -Jinv @ Ad
-                WJi = W[:, None] * Ji
-                WJj = W[:, None] * Jj
-                add_block(6 * f.i, 6 * f.i, Ji.T @ WJi)
-                add_block(6 * f.j, 6 * f.j, Jj.T @ WJj)
-                add_block(6 * f.i, 6 * f.j, Ji.T @ WJj)
-                add_block(6 * f.j, 6 * f.i, Jj.T @ WJi)
-                rhs[6 * f.i:6 * f.i + 6] -= Ji.T @ (W * e)
-                rhs[6 * f.j:6 * f.j + 6] -= Jj.T @ (W * e)
-                err_total += float(e @ (W * e))
+            err_total = float(np.sum(W * E * E)) + Wp * float(e0 @ e0)
 
             H = sp.csr_matrix((vals, (rows, cols)), shape=(6 * n, 6 * n))
             H = H + lm_lambda * sp.eye(6 * n)
             dx = spla.spsolve(H.tocsc(), rhs)
-            for i in range(n):
-                poses[i] = poses[i] @ hp.se3_exp(dx[6 * i:6 * i + 6])
+            P = np.einsum("nij,njk->nik", P,
+                          _bse3_exp(dx.reshape(n, 6)))
             if abs(last_err - err_total) < 1e-10 * max(err_total, 1.0):
                 break
             last_err = err_total
-        self.poses = poses
+        self.poses = [P[i] for i in range(n)]
         return last_err
 
     # -- loop handling (reference pgo.py:142-186, :321-336) -----------------

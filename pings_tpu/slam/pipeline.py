@@ -532,6 +532,12 @@ class SlamSystem:
         met = None
         local_idx = jnp.nonzero(self.m.local_mask, size=self._local_size,
                                 fill_value=self.m.capacity)[0]
+        # per-frame tile-table cache: the local point set changed with
+        # the map update, so bins from last frame are invalid; within
+        # this frame's iterations, bins are reused per (slot, level) and
+        # re-built every raster_rebin_every uses or when projected means
+        # drift past the pixel guard (VERDICT r3: amortized binning)
+        bins_cache: Dict = {}
 
         # frozen surrounding-Gaussian background: once the decoders are
         # frozen, spawn Gaussians for the annulus outside the local map
@@ -575,11 +581,26 @@ class SlamSystem:
             opt, params, state, steps = self._gs
             batch = rp.pool_batch(self.pool, self._next_key(), cfg.bs,
                                   min(cfg.bs_new_sample, cfg.bs // 2))
-            params, state, met = gstep(
+            ckey = (pc.slot, level)
+            ent = bins_cache.get(ckey)
+            use_bins = (ent is not None
+                        and ent["uses"] < cfg.raster_rebin_every)
+            params, state, met, (bins_out, means2d, contrib) = gstep(
                 params, state, self.m, self.decoders, local_idx,
                 cam, jnp.int32(pc.slot), batch, freeze,
-                surrounding=surrounding, depth_w=jnp.float32(depth_w))
+                surrounding=surrounding, depth_w=jnp.float32(depth_w),
+                bins=ent["bins"] if use_bins else None,
+                bin_means=ent["means"] if use_bins else None,
+                cached_contrib=ent["contrib"] if use_bins else None,
+                use_bins=use_bins)
             self._gs[1], self._gs[2] = params, state
+            if use_bins:
+                ent["uses"] += 1
+                if float(met.bin_drift) > cfg.raster_rebin_drift_px:
+                    bins_cache.pop(ckey, None)
+            elif bins_out is not None:
+                bins_cache[ckey] = {"bins": bins_out, "means": means2d,
+                                    "contrib": contrib, "uses": 1}
             n_nonfinite += int(met.nonfinite)
         if met is not None:
             self._apply_gs_params()
@@ -683,7 +704,8 @@ class SlamSystem:
         return render(local, self.decoders, cam, w, h,
                       bg=jnp.asarray(cfg.bg_color, jnp.float32),
                       spawn_kwargs=spawn_kwargs_from_cfg(cfg),
-                      tile=cfg.tile_size, max_per_tile=cfg.max_gs_per_tile)
+                      tile=cfg.tile_size, max_per_tile=cfg.max_gs_per_tile,
+                      gs_type=cfg.gs_type, precision=cfg.raster_precision)
 
     # -- persistence ----------------------------------------------------------
     def save(self, path: str):

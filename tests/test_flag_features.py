@@ -204,7 +204,7 @@ class TestMonoNormalLoss:
             sdf_batch = (jnp.asarray(scan[:cfg.bs]),
                          jnp.zeros(cfg.bs), jnp.zeros((cfg.bs, 3)),
                          jnp.ones(cfg.bs), jnp.ones(cfg.bs, bool))
-            _, _, met = step(params, ost, m, decoders, local_idx, cam,
+            _, _, met, _ = step(params, ost, m, decoders, local_idx, cam,
                              jnp.int32(slot), sdf_batch, jnp.asarray(False))
             totals[lmn] = float(met.total)
         assert np.isfinite(list(totals.values())).all()

@@ -118,7 +118,7 @@ def test_gsdf_slice_converges(rng):
     for i in range(150):
         sdf_batch = rp.pool_batch(pool, jax.random.PRNGKey(100 + i),
                                   cfg.bs, 128)
-        params, opt_state, met = step(
+        params, opt_state, met, _ = step(
             params, opt_state, m, decoders, local_idx, cam,
             jnp.int32(slot), sdf_batch, jnp.asarray(False))
         if i % 25 == 0 or i == 149:

@@ -173,13 +173,13 @@ def test_surrounding_background_step_equivalence(rng):
         jnp.copy, gs_mapper.gs_params(m, decoders, exposure, cam_delta))
     params0 = fresh()
     state0 = opt.init(params0)
-    pA, _, metA = step(params0, state0, m, decoders, local_idx, cam,
+    pA, _, metA, _ = step(params0, state0, m, decoders, local_idx, cam,
                        jnp.int32(slot), batch, jnp.asarray(False))
 
     params1 = fresh()
     state1 = opt.init(params1)
     sur = empty_spawned(cfg.max_surrounding_points * cfg.spawn_n_gaussian)
-    pB, _, metB = step(params1, state1, m, decoders, local_idx, cam,
+    pB, _, metB, _ = step(params1, state1, m, decoders, local_idx, cam,
                        jnp.int32(slot), batch, jnp.asarray(False),
                        surrounding=sur)
     assert np.isfinite(float(metB.total))

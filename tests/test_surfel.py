@@ -199,7 +199,7 @@ def test_gsdf_step_runs_in_surfel_modes(rng, gs_type):
     psnr0 = None
     for i in range(30):
         batch = rp.pool_batch(pool, jax.random.PRNGKey(i), cfg.bs, 128)
-        params, state, met = step(params, state, m, decoders, local_idx,
+        params, state, met, _ = step(params, state, m, decoders, local_idx,
                                   cam, jnp.int32(slot), batch,
                                   jnp.asarray(False))
         if psnr0 is None:
