@@ -102,14 +102,29 @@ def run(args) -> dict:
     gt = ds.gt_poses()
     reports = []
     packets = []
+    # live control: poll <run_dir>/control.json every frame (pause /
+    # step / stop / vis cadence / mesh + SDF-slice layers — the headless
+    # ControlPacket loop, vis/control.py; reference gui_utils.py:365-379)
+    from pings_tpu.vis.control import ControlLoop
+    ctrl = ControlLoop(run_dir)
     t_start = time.time()
     for fid in range(begin, end, step):
+        if not ctrl.wait_if_paused():
+            break                      # stop requested while paused
+        st = ctrl.poll()
+        if st.get("stop"):
+            break
         rep = system.process_frame(ds[fid])
         reports.append(rep)
-        if args.vis_every and (len(reports) % args.vis_every == 0
-                               or fid + step >= end):
-            pkt = system.make_vis_packet(gt_poses=gt,
-                                         with_render=bool(cfg.gs_on))
+        vis_every = (int(st["vis_every"]) if st.get("vis_every")
+                     is not None else args.vis_every)
+        if vis_every and (len(reports) % vis_every == 0
+                          or fid + step >= end):
+            pkt = system.make_vis_packet(
+                gt_poses=gt,
+                with_render=bool(cfg.gs_on) and bool(
+                    st.get("render_on", True)))
+            _control_layers(pkt, st, system, cfg)
             pkt.save(os.path.join(run_dir, "vis",
                                   f"frame_{rep.frame_id:05d}.npz"))
             packets.append(pkt)
@@ -163,12 +178,61 @@ def run(args) -> dict:
     return results
 
 
+def _control_layers(pkt, st: dict, system, cfg):
+    """Optional vis-packet layers requested through control.json
+    (reference GUI mesh / SDF-slice checkboxes, slam_gui.py:1104-1300):
+    a bounded local mesh and a horizontal SDF slice around the sensor."""
+    import numpy as np
+
+    if not (st.get("mesh_on") or st.get("sdf_slice_on")):
+        return
+    from pings_tpu.slam.mesher import Mesher
+
+    mesher = Mesher(cfg)
+    pos = system.poses[-1][:3, 3] if system.poses else np.zeros(3)
+    r = min(0.25 * cfg.local_map_radius, 10.0)
+    try:
+        if st.get("mesh_on"):
+            v, t, c = mesher.recon_aabb_mesh(
+                system.m, system.decoders, pos - r, pos + r)
+            pkt.mesh_verts, pkt.mesh_tris, pkt.mesh_colors = v, t, c
+        if st.get("sdf_slice_on"):
+            z = pos[2] + float(st.get("sdf_slice_height") or 0.0)
+            res = max(cfg.mc_res_m, 2.0 * cfg.voxel_size_m)
+            n = int(2 * r / res)
+            origin = np.array([pos[0] - r, pos[1] - r, z])
+            sdf, mask = mesher.query_sdf_grid(
+                system.m, system.decoders, origin, (n, n, 1), res)
+            pkt.sdf_slice = np.where(mask[:, :, 0], sdf[:, :, 0],
+                                     np.nan).astype(np.float32)
+            pkt.sdf_slice_meta = np.array(
+                [origin[0], origin[1], z, res], np.float32)
+    except Exception:
+        pass   # vis layers are best-effort; never kill the SLAM loop
+
+
 def write_results(run_dir, cfg, system, ds, reports, gt, wall) -> dict:
     """Reference SLAMDataset.write_results (slam_dataset.py:1231-1411)."""
     results = {"frames": len(reports), "wall_s": wall,
                "sec_per_frame": wall / max(len(reports), 1),
                "map_points": int(system.m.count),
                "loops": system.n_loops}
+    # per-stage runtime budget (mean sec/frame per stage; the reference
+    # reports ~5 s/frame on A6000 with GS mapping dominating,
+    # paper.md:406 — this surfaces where OUR frame time goes, incl. the
+    # TPU dispatch-latency stages)
+    stage_keys = sorted({k for r in reports for k in r.timings})
+    if reports:
+        results["stage_sec_per_frame"] = {
+            k: round(sum(r.timings.get(k, 0.0) for r in reports)
+                     / len(reports), 4)
+            for k in stage_keys}
+    # online GS training PSNR over the last frames (reference logs the
+    # per-iter GS losses; mapper.py:1559-1574)
+    psnrs = [r.metrics["gs_psnr"] for r in reports[-10:]
+             if "gs_psnr" in r.metrics]
+    if psnrs:
+        results["gs_psnr"] = round(float(np.mean(psnrs)), 3)
     write_kitti_poses(os.path.join(run_dir, "poses_kitti.txt"), system.poses)
     write_kitti_poses(os.path.join(run_dir, "odom_poses_kitti.txt"),
                       system.odom_only_poses)

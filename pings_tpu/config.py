@@ -197,7 +197,7 @@ class Config:
 
     # ---------------- gs (gaussian splatting) ----------------
     gs_on: bool = True
-    gs_type: str = "3d_gs"           # "3d_gs" | "gaussian_surfel" | "2d_gs"
+    gs_type: str = "gaussian_surfel"  # reference default (utils/config.py:225); "3d_gs" | "gaussian_surfel" | "2d_gs"
     spawn_n_gaussian: int = 8
     displacement_range_ratio: float = 1.0
     unit_scale_ratio: float = 0.5

@@ -76,6 +76,7 @@ def _import_loader_modules():
     import pings_tpu.data.kitti  # noqa: F401
     import pings_tpu.data.kitti360  # noqa: F401
     import pings_tpu.data.lidar  # noqa: F401
+    import pings_tpu.data.ouster  # noqa: F401
     import pings_tpu.data.raw_formats  # noqa: F401
     import pings_tpu.data.rgbd  # noqa: F401
     import pings_tpu.data.rosbag  # noqa: F401

@@ -303,15 +303,5 @@ class NuScenesDataset(BaseDataset):
         return frame
 
 
-@register_loader("ouster")
-class OusterDataset(BaseDataset):
-    """Ouster raw-stream stub: decoding .pcap/.osf needs the vendor SDK's
-    per-sensor beam intrinsics (reference ouster.py:1-160 uses ouster-sdk).
-    Record to rosbag/mcap, or convert to a point-cloud folder for the
-    'generic' loader."""
-
-    def __init__(self, data_path: str, sequence: str = "", cfg=None):
-        raise ImportError(
-            "the 'ouster' loader needs the vendor SDK (ouster-sdk) for "
-            "beam calibration; record to mcap/rosbag instead, or use the "
-            "'generic' point-cloud-folder loader.")
+# the "ouster" loader lives in pings_tpu/data/ouster.py (from-scratch
+# pcap + LEGACY/RNG19 packet decoding + beam-model XYZ, no vendor SDK)

@@ -681,12 +681,13 @@ def _contrib_kernel(counts_ref, attrs_ref, contrib_ref, *, mode: str,
                 one_m = 1.0 - alpha
                 excl = _excl_prod(one_m, tri_s, True)
                 w = alpha * excl * tr
-                contrib_ref[g, pl.ds(k0, sb)] = jnp.sum(w, axis=1)
+                contrib_ref[g, pl.ds(k0, sb), :] = jnp.sum(
+                    w, axis=1, keepdims=True)
                 return tr * (excl[sb - 1:sb, :] * one_m[sb - 1:sb, :])
 
             def skip(tr):
-                contrib_ref[g, pl.ds(k0, sb)] = jnp.zeros((sb,),
-                                                          jnp.float32)
+                contrib_ref[g, pl.ds(k0, sb), :] = jnp.zeros(
+                    (sb, 1), jnp.float32)
                 return tr
 
             live = (jnp.max(trans) > TRANS_EPS) & (j * sb < cnt)
@@ -718,9 +719,13 @@ def blend_contributions(attr16: jnp.ndarray, bins: TileBins,
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec((G, kmax, NCH), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((G, kmax), lambda t: (t, 0),
+        # 3-D output (T, kmax, 1): Mosaic requires the last two block
+        # dims divisible by (8, 128) or equal to the array dims — a 2-D
+        # (G, kmax) block fails whenever the tile count isn't a multiple
+        # of 8 x grid (e.g. 600x340 images -> T=836, G=4)
+        out_specs=pl.BlockSpec((G, kmax, 1), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, kmax), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, kmax, 1), jnp.float32),
         interpret=INTERPRET,
     )(bins.counts, attrs)
     idx = jnp.minimum(bins.gauss_tbl.reshape(-1), n - 1)

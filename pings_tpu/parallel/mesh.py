@@ -164,6 +164,66 @@ def render_gauss_sharded(
                           chunk=chunk)
 
 
+def make_gauss_sharded_train_step(cfg, optimizer, mesh: Mesh, width: int,
+                                  height: int, local_size: int):
+    """Model-parallel training: ONE camera per step, the spawn + projection
+    (the FLOP-heavy 5-head MLP decode) sharded over the mesh's point axis
+    via ``render_gauss_sharded``; the backward transposes the all-gather
+    into a reduce-scatter of projected-attribute gradients, and feature /
+    MLP gradient psums ride the same axis. This is the sharded *training*
+    step (not just the forward): use it when a single frame's gaussian
+    count is the scaling axis rather than the camera batch.
+
+    step(params, opt_state, static_map, decoders, local_idx, cam)
+      -> (params, opt_state, psnr)
+    """
+    from pings_tpu.mapping.gs_mapper import apply_gs_params
+    from pings_tpu.models.spawn import LocalPointData
+    import optax
+
+    spawn_kwargs = dict(
+        spawn_k=cfg.spawn_n_gaussian, voxel_size=cfg.voxel_size_m,
+        displacement_range_ratio=cfg.displacement_range_ratio,
+        unit_scale_ratio=cfg.unit_scale_ratio,
+        max_scale_ratio=cfg.max_scale_ratio,
+        surfel_mode=(cfg.gs_type == "gaussian_surfel"),
+        dist_concat=cfg.dist_concat_on, view_concat=cfg.view_concat_on,
+        color_residual=cfg.learn_color_residual, max_range=cfg.max_range,
+    )
+    bg = jnp.asarray(cfg.bg_color, jnp.float32)
+
+    def loss_fn(params, static_map, decoders, local_idx, cam):
+        m, d = apply_gs_params(static_map, decoders, params)
+        local = LocalPointData(
+            positions=m.positions[local_idx], quats=m.quats[local_idx],
+            geo_feat=m.geo_feat[local_idx],
+            color_feat=m.color_feat[local_idx], rgb=m.rgb[local_idx],
+            valid=(local_idx < m.capacity) & m.valid_gs_mask[local_idx])
+        res = render_gauss_sharded(
+            mesh, local, d, cam, width, height, bg=bg,
+            spawn_kwargs=spawn_kwargs, tile=cfg.tile_size,
+            max_per_tile=cfg.max_gs_per_tile, chunk=32)
+        l1 = losses.l1_masked(res.rgb, cam.rgb)
+        ds = dssim_loss(res.rgb, cam.rgb)
+        photo = (1 - cfg.lambda_ssim) * l1 + cfg.lambda_ssim * ds
+        dmask = (cam.depth > 1e-4) & (res.alpha > 0.5)
+        dl1 = losses.l1_masked(res.depth, cam.depth, dmask)
+        return (photo + cfg.lambda_depth * dl1
+                + cfg.lambda_opacity_ent
+                * losses.opacity_entropy_loss(res.alpha)), \
+            losses.psnr(res.rgb, cam.rgb)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, static_map, decoders, local_idx, cam):
+        (_, psnr), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, static_map, decoders, local_idx, cam)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, psnr
+
+    return step
+
+
 # ---------------------------------------------------------------------------
 # Data-parallel joint training step (cameras sharded)
 # ---------------------------------------------------------------------------

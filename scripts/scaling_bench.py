@@ -59,7 +59,8 @@ def main():
     from pings_tpu.models.renderer import CamView
     from pings_tpu.models.spawn import gather_local_data
     from pings_tpu.parallel.mesh import (
-        make_dp_train_step, make_mesh, render_gauss_sharded, render_sharded)
+        make_dp_train_step, make_gauss_sharded_train_step, make_mesh,
+        render_gauss_sharded, render_sharded)
     from pings_tpu.config import Config
 
     W, H = args.width, args.height
@@ -156,6 +157,22 @@ def main():
         # rebuild params per call is host-cheap, jit reuses the executable)
         dt = timeit(run_step, iters=max(2, args.iters // 2))
         row["train_dp_mpix_s"] = nd * W * H / dt / 1e6
+
+        # gaussian-sharded TRAINING step (model parallel: one camera, the
+        # spawn/projection sharded over points; bwd reduce-scatters the
+        # projected-attribute grads)
+        gstep = make_gauss_sharded_train_step(cfg, opt, mesh, W, H,
+                                              cfg.max_local_points)
+
+        def run_gauss_step():
+            params = jax.tree.map(jnp.copy, gs_mapper.gs_params(
+                m, decoders, exposure, cam_delta))
+            state = opt.init(params)
+            with mesh:
+                return gstep(params, state, m, decoders, local_idx, cam)[2]
+
+        dt = timeit(run_gauss_step, iters=max(2, args.iters // 2))
+        row["train_gauss_mpix_s"] = W * H / dt / 1e6
 
         # SDF query rays/s (batch sharded over the mesh)
         shard = NamedSharding(mesh, P(mesh.axis_names[0]))

@@ -314,3 +314,74 @@ def test_kitti_semantic_labels(tmp_path):
     ds2 = KittiDataset(str(tmp_path), "00", cfg=Cfg())
     sem2 = ds2[0]["sem"]
     np.testing.assert_array_equal(sem2[-3:], [1, 6, 5])
+
+
+def test_ouster_pcap_loader(tmp_path):
+    """From-scratch Ouster pcap decoding (reference ouster.py uses the
+    vendor SDK): LEGACY packet layout + beam-model XYZ reconstruction on
+    a synthetic capture — ranges at 10 m must come back as points ~10 m
+    from the sensor with per-column timestamps."""
+    import json as _json
+    import struct
+
+    H, W, CPP = 16, 64, 16            # beams, columns/frame, cols/packet
+    meta = {
+        "beam_altitude_angles": list(np.linspace(-15, 15, H)),
+        "beam_azimuth_angles": [0.0] * H,
+        "lidar_origin_to_beam_origin_mm": 12.0,
+        "lidar_mode": f"{W}x10",
+        "lidar_data_format": {
+            "columns_per_frame": W, "pixels_per_column": H,
+            "columns_per_packet": CPP, "udp_profile_lidar": "LEGACY",
+        },
+        "lidar_to_sensor_transform":
+            [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 36.18, 0, 0, 0, 1],
+    }
+    mpath = tmp_path / "os_meta.json"
+    mpath.write_text(_json.dumps(meta))
+
+    rng_m = 10.0
+
+    def legacy_packet(frame_id, mid0):
+        blocks = b""
+        for c in range(CPP):
+            mid = mid0 + c
+            hdr = struct.pack("<QHHI", 1000 + mid, mid, frame_id, 0)
+            ch = b""
+            for r in range(H):
+                ch += struct.pack("<IHHHH", int(rng_m * 1000), 100, 50,
+                                  10, 0)
+            blocks += hdr + ch + struct.pack("<I", 0xFFFFFFFF)
+        return blocks
+
+    def udp_frame(payload):
+        udp = struct.pack(">HHHH", 50000, 7502, 8 + len(payload), 0) \
+            + payload
+        ip = struct.pack(">BBHHHBBH4s4s", 0x45, 0, 20 + len(udp), 0, 0,
+                         64, 17, 0, b"\x0a\x00\x00\x01",
+                         b"\x0a\x00\x00\x02") + udp
+        eth = b"\x00" * 12 + struct.pack(">H", 0x0800) + ip
+        return eth
+
+    pcap = struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1)
+    for fid in range(2):               # two full scans
+        for mid0 in range(0, W, CPP):
+            fr = udp_frame(legacy_packet(fid, mid0))
+            pcap += struct.pack("<IIII", 0, 0, len(fr), len(fr)) + fr
+    ppath = tmp_path / "os_capture.pcap"
+    ppath.write_bytes(pcap)
+
+    from pings_tpu.data.base import dataset_factory
+    ds = dataset_factory("ouster", str(ppath))
+    assert len(ds) == 2
+    fr = ds[0]
+    pts, ts = fr["points"], fr["point_ts"]
+    assert pts.shape == (H * W, 3)
+    # every return is ~10 m from the beam origin (mm-level model offsets)
+    d = np.linalg.norm(pts - np.array([0, 0, 0.03618]), axis=1)
+    np.testing.assert_allclose(d, rng_m, atol=0.05)
+    # the horizontal beam ring spans the full azimuth circle
+    az = np.degrees(np.arctan2(pts[:, 1], pts[:, 0]))
+    assert az.max() - az.min() > 300
+    # per-column phase timestamps in [0, 1)
+    assert ts.min() >= 0 and ts.max() < 1 and len(np.unique(ts)) == W

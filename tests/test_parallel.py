@@ -144,3 +144,38 @@ def test_dp_step_matches_single_device(world):
     flat1 = jax.tree_util.tree_leaves(p1)
     for a, b in zip(flat8, flat1):
         np.testing.assert_allclose(a, b, atol=3e-6)
+
+
+def test_gauss_sharded_train_step_matches_single_device(world):
+    """Model-parallel training (spawn sharded over points, bwd through
+    the shard_map all-gather) must match the 1-device step numerically."""
+    from pings_tpu.parallel.mesh import make_gauss_sharded_train_step
+
+    cfg, m, decoders, cam, rng = world
+    cpool = CamPool(cfg)
+    exposure, cam_delta = cpool.init_param_pools()
+    opt = gs_mapper.make_gs_optimizer(cfg)
+    local_idx = jnp.nonzero(m.valid_mask, size=cfg.max_local_points,
+                            fill_value=m.capacity)[0]
+
+    def run(nd):
+        mesh = make_mesh(nd)
+        step = make_gauss_sharded_train_step(cfg, opt, mesh, W, H,
+                                             cfg.max_local_points)
+        params = jax.tree.map(jnp.copy, gs_mapper.gs_params(
+            m, decoders, exposure, cam_delta))
+        state = opt.init(params)
+        with mesh:
+            params, _, psnr = step(params, state, m, decoders, local_idx,
+                                   cam)
+            jax.block_until_ready(psnr)
+        return params, float(psnr)
+
+    p8, psnr8 = run(8)
+    p1, psnr1 = run(1)
+    assert np.isfinite(psnr8)
+    assert abs(psnr8 - psnr1) < 1e-3 * max(1.0, abs(psnr1))
+    for a, b in zip(jax.tree_util.tree_leaves(p8),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6)

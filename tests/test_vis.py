@@ -59,3 +59,87 @@ class TestViewer:
             assert key in html
         assert '"frame_id": 5' in html
         assert len(html) > 10_000
+
+
+class TestControlLoop:
+    def test_poll_pause_step_stop(self, tmp_path):
+        import json, os
+        from pings_tpu.vis.control import ControlLoop
+
+        ctl = ControlLoop(str(tmp_path))
+        assert ctl.poll()["pause"] is False       # no file yet
+        p = os.path.join(str(tmp_path), "control.json")
+        json.dump({"pause": True, "vis_every": 2}, open(p, "w"))
+        st = ctl.poll()
+        assert st["pause"] and st["vis_every"] == 2
+        # step credit lets exactly one frame through, then re-pauses
+        json.dump({"pause": True, "step": 1}, open(p, "w"))
+        assert ctl.wait_if_paused(sleep_s=0.01) is True
+        assert ctl.poll()["step"] == 0
+        # stop while paused returns False
+        json.dump({"pause": True, "stop": True}, open(p, "w"))
+        assert ctl.wait_if_paused(sleep_s=0.01) is False
+        # malformed json is ignored, last good state kept
+        open(p, "w").write("{broken")
+        assert ctl.poll()["stop"] is True
+
+    def test_cli_run_honors_stop(self, tmp_path):
+        """Stopping a running SLAM process through control.json: the run
+        ends early and still writes its results (VERDICT r2 item 7)."""
+        import glob, json, os, threading, time
+        from pings_tpu.cli import build_parser, run
+
+        out = str(tmp_path)
+
+        def stopper():
+            for _ in range(600):
+                dirs = glob.glob(os.path.join(out, "*"))
+                if dirs:
+                    p = os.path.join(dirs[0], "control.json")
+                    json.dump({"stop": True}, open(p, "w"))
+                    return
+                time.sleep(0.05)
+
+        t = threading.Thread(target=stopper)
+        t.start()
+        args = build_parser().parse_args(
+            ["configs/run_synthetic.yaml", "--range", "0", "8", "1",
+             "--output", out, "--quiet"])
+        res = run(args)
+        t.join()
+        assert res["frames"] < 8          # stopped early...
+        run_dir = glob.glob(os.path.join(out, "*"))[0]
+        # ...but results were still written
+        assert os.path.exists(os.path.join(run_dir, "summary.json"))
+
+
+class TestLiveServer:
+    def test_status_and_control_endpoints(self, rng, tmp_path):
+        import json, os, threading, urllib.request
+        from http.server import ThreadingHTTPServer
+        from pings_tpu.vis.live import make_handler
+
+        run_dir = str(tmp_path)
+        pkt = make_packet(rng, fid=7)
+        pkt.save(os.path.join(run_dir, "vis", "frame_00007.npz"))
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(run_dir))
+        port = srv.server_address[1]
+        th = threading.Thread(target=srv.serve_forever, daemon=True)
+        th.start()
+        try:
+            st = json.loads(urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/status", timeout=10).read())
+            assert st["n_packets"] == 1 and st["latest"] == 7
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/control",
+                data=json.dumps({"pause": True,
+                                 "sdf_slice_on": True}).encode(),
+                method="POST")
+            json.loads(urllib.request.urlopen(req, timeout=10).read())
+            ctl = json.load(open(os.path.join(run_dir, "control.json")))
+            assert ctl["pause"] is True and ctl["sdf_slice_on"] is True
+            html = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=30).read()
+            assert b"ctrlpanel" in html     # control panel injected
+        finally:
+            srv.shutdown()
