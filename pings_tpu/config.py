@@ -254,6 +254,9 @@ class Config:
     # utils/mapper.py:1355-1366)
     gs_contribution_threshold: float = 0.1
     gs_min_alpha: float = 0.05
+    # edge-aware normal smoothness (reference lambda_normal_smooth,
+    # utils/config.py:283; off by default like the reference)
+    lambda_normal_smooth: float = 0.0
     max_render_gaussians: int = 1 << 18
 
     # ---------------- eval ----------------

@@ -246,7 +246,10 @@ def refine_view_pose(cfg, local, decoders, cam, w, h, iters=50,
                      spawn_kwargs=spawn_kwargs,
                      max_per_tile=cfg.max_gs_per_tile,
                      gs_type=cfg.gs_type, precision=cfg.raster_precision)
-        return jnp.mean(jnp.abs(res.rgb - cam.rgb))
+        # robust photometric term for the per-view refine (reference
+        # tukey_loss c=0.5, inspect_pings.py:643)
+        from pings_tpu.mapping.losses import tukey_loss
+        return tukey_loss(res.rgb, cam.rgb, c=0.5)
 
     opt = optax.adam(lr)
 

@@ -214,13 +214,16 @@ def make_gsdf_step(cfg, optimizer, width: int, height: int,
                 with_contrib=not use_bins,
                 raster_bins=bins if use_bins else None,
                 return_bins=True,
+                bin_means=bin_means if use_bins else None,
+                rebin_drift_px=cfg.raster_rebin_drift_px
+                if use_bins else 0.0,
             )
             contrib = (cached_contrib if use_bins
                        and cached_contrib is not None else res.contrib)
-            if use_bins and bin_means is not None and means2d is not None:
-                drift = jnp.max(jnp.abs(means2d - bin_means))
-            else:
-                drift = jnp.float32(0.0)
+            # the rebin-on-drift decision happens inside the raster
+            # (lax.cond, ops/raster_pallas.py) so the host never syncs on
+            # it; the metric slot is kept for interface stability
+            drift = jnp.float32(0.0)
 
             # photometric (mapper.py:1240-1246)
             l1 = losses.l1_masked(res.rgb, cam.rgb)
@@ -248,6 +251,14 @@ def make_gsdf_step(cfg, optimizer, width: int, height: int,
                     res.normal, pn, mn_mask)
             else:
                 mono_n = jnp.float32(0.0)
+
+            # edge-aware normal smoothness (mapper.py:1299-1305)
+            if cfg.lambda_normal_smooth > 0:
+                nsm = losses.normal_smooth_loss(
+                    res.normal, res.depth, res.alpha > 0.5,
+                    depth_jump_thre_m=cfg.vox_down_m)
+            else:
+                nsm = jnp.float32(0.0)
 
             # opacity entropy + sky (mapper.py:1297-1351)
             oent = losses.opacity_entropy_loss(res.alpha)
@@ -320,6 +331,7 @@ def make_gsdf_step(cfg, optimizer, width: int, height: int,
                 + depth_w * cfg.lambda_depth * dl1
                 + cfg.lambda_normal_depth_consist * ncons
                 + cfg.lambda_mono_normal * mono_n
+                + cfg.lambda_normal_smooth * nsm
                 + cfg.lambda_opacity_ent * oent
                 + cfg.lambda_sky * sky_l
                 + cfg.lambda_gs_sdf_consist * gs_sdf

@@ -117,3 +117,45 @@ def psnr(pred: jnp.ndarray, target: jnp.ndarray,
         m = jnp.broadcast_to(mask, pred.shape)
         mse = jnp.sum(((pred - target) ** 2) * m) / jnp.maximum(jnp.sum(m), 1.0)
     return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+
+def _central_diff_sq(x: jnp.ndarray) -> jnp.ndarray:
+    """Squared channelwise central-difference norms in 4 shift directions,
+    zero-padded at the borders: (H, W, C) -> (4, H, W) (reference
+    central_diff, gaussian_splatting/utils/loss_utils.py:97-120)."""
+    zc = jnp.zeros_like(x[:, :1])
+    zr = jnp.zeros_like(x[:1])
+    left = jnp.concatenate([x[:, :-1] - x[:, 1:], zc], axis=1)
+    right = jnp.concatenate([zc, x[:, 1:] - x[:, :-1]], axis=1)
+    up = jnp.concatenate([x[:-1] - x[1:], zr], axis=0)
+    down = jnp.concatenate([zr, x[1:] - x[:-1]], axis=0)
+    return jnp.stack([jnp.sum(d * d, axis=-1)
+                      for d in (left, right, up, down)])
+
+
+def normal_smooth_loss(normal: jnp.ndarray, depth: jnp.ndarray,
+                       mask: jnp.ndarray,
+                       normal_diff_sigma: float = 0.3,
+                       depth_jump_thre_m: float = 0.02) -> jnp.ndarray:
+    """Edge-aware normal smoothness (reference normal_smooth_loss,
+    loss_utils.py:80-95, weighted into the GS loss at mapper.py:1299-1305):
+    penalize neighboring-normal differences except across depth jumps
+    (> depth_jump_thre, detached) and already-sharp normal edges
+    (gaussian down-weighting with sigma)."""
+    nd = _central_diff_sq(normal)                           # (4, H, W)
+    dd = _central_diff_sq(jax.lax.stop_gradient(depth)[..., None])
+    depth_mask = (dd <= depth_jump_thre_m ** 2).astype(jnp.float32)
+    w = jnp.exp(-nd / (2.0 * normal_diff_sigma ** 2))
+    return jnp.mean(depth_mask * w * nd * mask[None].astype(jnp.float32))
+
+
+def tukey_loss(pred: jnp.ndarray, gt: jnp.ndarray,
+               c: float = 4.685) -> jnp.ndarray:
+    """Tukey biweight robust loss (reference tukey_loss,
+    loss_utils.py:60-71; used by the inspector's per-view refine,
+    inspect_pings.py:643). c <= 0 degrades to plain L1."""
+    r = pred - gt
+    if c <= 0:
+        return jnp.mean(jnp.abs(r))
+    inlier = (c * c / 6.0) * (1.0 - (1.0 - (r / c) ** 2) ** 3)
+    return jnp.mean(jnp.where(jnp.abs(r) <= c, inlier, c * c / 6.0))

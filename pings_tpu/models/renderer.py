@@ -146,6 +146,8 @@ def render(
     with_contrib: bool = False,
     raster_bins=None,
     return_bins: bool = False,
+    bin_means=None,
+    rebin_drift_px: float = 0.0,
 ):
     """Spawn + rasterize + exposure. Differentiable w.r.t. local point
     features, decoder params, exposure, and (theta, rho).
@@ -192,6 +194,7 @@ def render(
             normalize_depth=normalize_depth, mode=mode,
             precision=precision, with_contrib=with_contrib,
             bins=raster_bins, return_bins=return_bins,
+            bin_means=bin_means, rebin_drift_px=rebin_drift_px,
         )
         if return_bins:
             out, bins_out, means2d = r

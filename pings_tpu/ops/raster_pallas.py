@@ -746,6 +746,7 @@ def rasterize_pallas(
     precision: str = "high", with_contrib: bool = False,
     mode: str = "3dgs", bins: TileBins | None = None,
     return_bins: bool = False,
+    bin_means=None, rebin_drift_px: float = 0.0,
 ):
     """Drop-in rasterize() with the fused Pallas blend. Forward output
     matches ops.rasterize.rasterize; gradients flow to all gaussian
@@ -778,9 +779,28 @@ def rasterize_pallas(
                               valid, T_c_w, K, width, height)
         base = jax.tree.map(jax.lax.stop_gradient, p)
         attr16 = gauss_attr_matrix(p)
+    bin_means_out = bin_means if bin_means is not None else base.means2d
     if bins is None:
+        bin_means_out = base.means2d
         bins = bin_gaussians(base, width, height, tile=tile,
                              max_span=max_span, max_per_tile=max_per_tile)
+    elif bin_means is not None and rebin_drift_px > 0:
+        # in-graph drift guard: re-bin inside the jit when the projected
+        # centers moved past the pixel threshold since the cached table
+        # was built — no host sync on the training loop's critical path
+        drift = jnp.max(jnp.abs(base.means2d - bin_means))
+
+        def fresh(_):
+            b = bin_gaussians(base, width, height, tile=tile,
+                              max_span=max_span,
+                              max_per_tile=max_per_tile)
+            return b, base.means2d
+
+        def keep(_):
+            return bins, bin_means
+
+        bins, bin_means_out = jax.lax.cond(drift > rebin_drift_px,
+                                           fresh, keep, None)
 
     ntx = (width + tile - 1) // tile
     nty = (height + tile - 1) // tile
@@ -817,5 +837,5 @@ def rasterize_pallas(
                        contrib=contrib, n_overflow=bins.n_overflow,
                        depth_median=depth_median)
     if return_bins:
-        return ret, bins, jax.lax.stop_gradient(base.means2d)
+        return ret, bins, jax.lax.stop_gradient(bin_means_out)
     return ret

@@ -563,7 +563,7 @@ class SlamSystem:
         from pings_tpu.models.renderer import downsample_cam
         base_level = max(int(self.cfg.train_img_downrate).bit_length() - 1,
                          0)
-        n_nonfinite = 0
+        mets_pending = []
         for it in range(gs_iters):
             pc = self.campool.sample()
             if pc is None:
@@ -594,14 +594,18 @@ class SlamSystem:
                 cached_contrib=ent["contrib"] if use_bins else None,
                 use_bins=use_bins)
             self._gs[1], self._gs[2] = params, state
+            # no host syncs on the critical path: the drift-triggered
+            # rebin happens inside the jit (lax.cond); the cache entry is
+            # refreshed from the step's (possibly re-binned) output, and
+            # nonfinite counting is deferred to frame end
             if use_bins:
                 ent["uses"] += 1
-                if float(met.bin_drift) > cfg.raster_rebin_drift_px:
-                    bins_cache.pop(ckey, None)
+                ent["bins"], ent["means"] = bins_out, means2d
             elif bins_out is not None:
                 bins_cache[ckey] = {"bins": bins_out, "means": means2d,
                                     "contrib": contrib, "uses": 1}
-            n_nonfinite += int(met.nonfinite)
+            mets_pending.append(met)
+        n_nonfinite = int(sum(float(m.nonfinite) for m in mets_pending))
         if met is not None:
             self._apply_gs_params()
             rep.metrics["gs_psnr"] = float(met.psnr)

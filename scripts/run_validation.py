@@ -85,7 +85,7 @@ def main():
     if args.only in (None, "replica"):
         wall = run([py, "-m", "pings_tpu.cli", "configs/replica_synth.yaml",
                     "--data-path", os.path.join(args.data_dir, "replica_synth"),
-                    "--no-track", "--output", args.out_dir, "--quiet"])
+                    "--no-track", "--output", args.out_dir])
         rd = latest_run_dir(args.out_dir, "replica_synth")
         summ = read_summary(rd)
         run([py, "-m", "pings_tpu.inspect_map", rd, "--eval",
@@ -106,7 +106,7 @@ def main():
     if args.only in (None, "kitti"):
         wall = run([py, "-m", "pings_tpu.cli", "configs/kitti_synth.yaml",
                     "--data-path", os.path.join(args.data_dir, "kitti_synth"),
-                    "--output", args.out_dir, "--quiet"])
+                    "--output", args.out_dir])
         rd = latest_run_dir(args.out_dir, "kitti_synth")
         summ = read_summary(rd)
         results["kitti_synth"] = {

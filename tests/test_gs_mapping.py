@@ -141,13 +141,14 @@ def test_gsdf_slice_converges(rng):
     assert bool(val_v.all())
     assert float(sdf_v[1]) > float(sdf_v[0]) > float(sdf_v[2])
 
-    # render through the public path and check alpha covers the sphere
+    # render through the public path (in the trained gs_type!) and
+    # check alpha covers the sphere
     from pings_tpu.models.renderer import render
+    from pings_tpu.models.spawn import spawn_kwargs_from_cfg
     local = gather_local_data(m2, m2.valid_mask, L)
     res = render(local, d2, cam, W, H,
-                 spawn_kwargs=dict(spawn_k=4, voxel_size=0.2,
-                                   max_range=20.0),
-                 max_per_tile=256)
+                 spawn_kwargs=spawn_kwargs_from_cfg(cfg),
+                 max_per_tile=256, gs_type=cfg.gs_type)
     a = np.array(res.alpha)
     assert a[hit].mean() > 0.6, a[hit].mean()
     assert a[~hit].mean() < 0.2, a[~hit].mean()
