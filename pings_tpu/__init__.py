@@ -24,3 +24,15 @@ Layer map (mirrors SURVEY.md §1, re-architected for TPU):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# f32 matmul precision everywhere: TPU's default single-pass-bf16 matmuls
+# destabilize the joint GS+SDF training — on the validation scenes PSNR
+# collapses mid-run (22 -> 14 on the sphere fixture; plateau at ~7 on
+# replica_synth) while the identical program at f32 precision converges
+# to 30+. The CUDA reference computes f32 throughout, so f32 is parity.
+# The Pallas kernels are unaffected: their deliberately-bf16 blend dots
+# pin precision=DEFAULT explicitly (ops/raster_pallas.py), and bench.py's
+# "fast" mode keeps its single-pass bf16 speed.
+_jax.config.update("jax_default_matmul_precision", "float32")

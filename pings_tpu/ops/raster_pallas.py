@@ -209,9 +209,13 @@ def _bf16_split(x):
 
 def _tri_matmul(tri, x, fast: bool = False):
     """tri (bf16-exact) @ x via two one-pass bf16 dots (f32 accumulate);
-    fast = one single-pass bf16 dot (~2^-8 relative error)."""
+    fast = one single-pass bf16 dot (~2^-8 relative error). Precision is
+    pinned to DEFAULT: the operands are deliberately bf16, and inheriting
+    a global f32 default (pings_tpu/__init__.py) would make Mosaic reject
+    the kernel (fp32 contract precision on bf16 vectors)."""
     d = lambda u: jax.lax.dot_general(
         tri, u, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32)
     if fast:
         return d(x.astype(jnp.bfloat16))
@@ -224,7 +228,8 @@ def _split_dot(a, b, dims, fast: bool = False):
     (hh + hl + lh; the ll term is below 2^-18 relative). fast = one
     single-pass bf16 dot."""
     d = lambda u, v: jax.lax.dot_general(
-        u, v, (dims, ((), ())), preferred_element_type=jnp.float32)
+        u, v, (dims, ((), ())), precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)
     if fast:
         return d(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
     ah, al = _bf16_split(a)

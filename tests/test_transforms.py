@@ -142,3 +142,15 @@ class TestProjection:
         out = tf.deskew(pts, ts, jnp.asarray(T_rel_np, jnp.float32), ref_frac=1.0)
         want = (T_rel_np[:3, :3] @ np.array(pts).T).T + T_rel_np[:3, 3]
         np.testing.assert_allclose(out, want, atol=1e-4)
+
+
+def test_package_pins_f32_matmul_precision():
+    """Importing pings_tpu must pin f32 matmul precision: TPU's default
+    single-pass-bf16 matmuls collapse the joint GS+SDF training mid-run
+    (root-caused in round 3: sphere fixture 22 -> 14 PSNR, replica_synth
+    plateau at ~7; f32 converges to 30+). CPU tests can't reproduce the
+    collapse, so guard the config instead."""
+    import jax
+    import pings_tpu  # noqa: F401
+
+    assert jax.config.jax_default_matmul_precision == "float32"
