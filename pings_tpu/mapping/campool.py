@@ -30,6 +30,24 @@ class PooledCam:
     position: np.ndarray  # world camera center, for range eviction
     T_c_l: Optional[np.ndarray] = None  # cam-from-lidar, for pose refresh
                                         # after PGO corrections
+    # cached image-pyramid levels (reference CamImage precomputes its
+    # pyramid once, cameras.py:86-186; re-downsampling per training
+    # iteration costs several un-jitted device dispatches each)
+    pyr: dict = dataclasses.field(default_factory=dict)
+
+    def level(self, lv: int) -> CamView:
+        if lv <= 0:
+            return self.cam
+        if lv not in self.pyr:
+            from pings_tpu.models.renderer import downsample_cam
+            self.pyr[lv] = downsample_cam(self.cam, lv)
+        return self.pyr[lv]
+
+    def set_cam(self, cam: CamView):
+        """Replace the camera (e.g. PGO pose refresh) and drop the
+        cached pyramid."""
+        self.cam = cam
+        self.pyr.clear()
 
 
 class CamPool:

@@ -320,8 +320,8 @@ class SlamSystem:
             for pc in self.campool.all_cams():
                 if pc.T_c_l is not None and pc.frame_id < len(self.poses):
                     T_c_w = pc.T_c_l @ hp.se3_inv(self.poses[pc.frame_id])
-                    pc.cam = pc.cam._replace(
-                        T_c_w=jnp.asarray(T_c_w, jnp.float32))
+                    pc.set_cam(pc.cam._replace(
+                        T_c_w=jnp.asarray(T_c_w, jnp.float32)))
         self.pgo.travel_dist_at_loop = self.travel[-1]
         self.n_loops += 1
         self.T_rel_last = hp.se3_inv(self.poses[-2]) @ self.poses[-1] \
@@ -560,10 +560,11 @@ class SlamSystem:
         # pyramid level, long-term pool one level coarser with the depth
         # term re-weighted 4x per extra level (reference
         # cameras.py:86-186 pyramid + mapper.py:1061-1104, 1268)
-        from pings_tpu.models.renderer import downsample_cam
         base_level = max(int(self.cfg.train_img_downrate).bit_length() - 1,
                          0)
         mets_pending = []
+        dw_const = {1.0: jnp.float32(1.0), 4.0: jnp.float32(4.0)}
+        slot_const = {}
         for it in range(gs_iters):
             pc = self.campool.sample()
             if pc is None:
@@ -573,7 +574,7 @@ class SlamSystem:
             if cfg.long_term_train_down and pc in self.campool.long:
                 level += 1
                 depth_w = 4.0
-            cam = downsample_cam(pc.cam, level)
+            cam = pc.level(level)   # cached pyramid (no per-iter device ops)
             h, w = cam.rgb.shape[:2]
             gstep = self._ensure_gs(w, h)
             if it == 0:
@@ -587,8 +588,10 @@ class SlamSystem:
                         and ent["uses"] < cfg.raster_rebin_every)
             params, state, met, (bins_out, means2d, contrib) = gstep(
                 params, state, self.m, self.decoders, local_idx,
-                cam, jnp.int32(pc.slot), batch, freeze,
-                surrounding=surrounding, depth_w=jnp.float32(depth_w),
+                cam,
+                slot_const.setdefault(pc.slot, jnp.int32(pc.slot)),
+                batch, freeze,
+                surrounding=surrounding, depth_w=dw_const[depth_w],
                 bins=ent["bins"] if use_bins else None,
                 bin_means=ent["means"] if use_bins else None,
                 cached_contrib=ent["contrib"] if use_bins else None,
