@@ -194,12 +194,27 @@ class Tracker:
             valid = False
         if mean_res * 100.0 > cfg.max_valid_final_sdf_residual_cm:
             valid = False
+        # non-finite residual or pose is never valid (NaN comparisons are
+        # all False, so the threshold checks above cannot catch them — a
+        # NaN pose otherwise gets committed into the trajectory)
+        if not np.isfinite(mean_res) or not np.isfinite(T).all():
+            valid = False
+            degenerate = True
         if H_np is not None and self.cfg.eigenvalue_check:
-            # translation block eigenvalues (degeneracy along a direction)
+            # translation block eigenvalues (degeneracy along a direction);
+            # a non-finite Hessian (all residuals rejected after losing
+            # track) is degenerate by definition — guard it instead of
+            # letting eigvalsh raise (reference health checks,
+            # tracker.py:133-207)
             Ht = H_np[:3, :3]
-            evals = np.linalg.eigvalsh(Ht)
-            if evals[0] < cfg.eigenvalue_ratio_thre * max(evals[-1], 1e-12):
+            if not np.isfinite(Ht).all():
                 degenerate = True
+                valid = False
+            else:
+                evals = np.linalg.eigvalsh(Ht)
+                if evals[0] < cfg.eigenvalue_ratio_thre * max(evals[-1],
+                                                              1e-12):
+                    degenerate = True
             try:
                 cov = np.linalg.inv(H_np + 1e-9 * np.eye(6))
             except np.linalg.LinAlgError:

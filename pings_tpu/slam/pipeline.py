@@ -176,6 +176,8 @@ class SlamSystem:
                 T = res.T_w_l if rep.tracking_valid else T_guess
                 rep.metrics["track_res_m"] = res.mean_res
                 rep.metrics["track_iter"] = res.iterations
+                rep.metrics["track_valid_ratio"] = res.valid_ratio
+                rep.metrics["track_degen"] = float(res.degenerate)
             else:
                 T = pre.gt_pose if pre.gt_pose is not None else T_guess
                 rep.tracking_valid = True

@@ -111,13 +111,53 @@ def make_replica(out_dir: str, n_frames: int):
     return seq
 
 
+def street_world(length_m: float = 50.0, seed: int = 3):
+    """Street-scale world for the KITTI sequence: ground plane plus
+    building-like boxes and spheres scattered along BOTH sides of the
+    whole trajectory. (Round-3 finding: the indoor-scale default_world
+    ends at x~12.5 m, so from frame ~35 of an 80-frame 0.45 m/frame drive
+    the scan saw only the unbounded ground plane — registration collapses
+    on a featureless plane and the tracker rightly loses track. A
+    trajectory-length world makes the full sequence meaningful.)"""
+    rng = np.random.default_rng(seed)
+    objs = [{"kind": "plane", "z": 0.0,
+             "color1": np.array([0.55, 0.5, 0.45], np.float32),
+             "color2": np.array([0.35, 0.35, 0.4], np.float32)}]
+    x = -4.0
+    while x < length_m:
+        for side in (-1.0, 1.0):
+            if rng.random() < 0.85:
+                w = rng.uniform(1.5, 4.0)
+                # the curving path drifts up to ~5 m laterally; keep the
+                # corridor clear
+                d = rng.uniform(6.5, 10.5)
+                h = rng.uniform(2.0, 5.0)
+                y0 = side * d
+                objs.append({
+                    "kind": "box",
+                    "min": np.array([x, min(y0, y0 + side * 2.5), 0.0]),
+                    "max": np.array([x + w, max(y0, y0 + side * 2.5), h]),
+                    "color": rng.uniform(0.2, 0.85, 3).astype(np.float32),
+                })
+        if rng.random() < 0.4:
+            side = float(rng.choice([-1.0, 1.0]))
+            objs.append({
+                "kind": "sphere",
+                "center": np.array([x + 2.0,
+                                    side * rng.uniform(6.0, 8.0), 0.8]),
+                "radius": rng.uniform(0.5, 1.1),
+                "tint": float(rng.choice([-1.0, 1.0]))})
+        x += rng.uniform(4.0, 7.0)
+    return objs
+
+
 def make_kitti(out_dir: str, n_frames: int):
     import cv2
 
     seq = os.path.join(out_dir, "kitti_synth", "00")
     os.makedirs(os.path.join(seq, "velodyne"), exist_ok=True)
     os.makedirs(os.path.join(seq, "image_2"), exist_ok=True)
-    objects = default_world()
+    objects = street_world(length_m=n_frames * 0.45 + 12.0)
     rng = np.random.default_rng(0)
 
     # body/lidar frame: x forward, z up. cam2: x right, y down, z forward.
