@@ -84,8 +84,14 @@ def parse_metadata(path: str) -> dict:
                 return v[key]
         return default
 
-    alt = np.asarray(find("beam_altitude_angles"), np.float64)
-    az = np.asarray(find("beam_azimuth_angles"), np.float64)
+    alt_raw = find("beam_altitude_angles")
+    az_raw = find("beam_azimuth_angles")
+    if alt_raw is None or az_raw is None:
+        raise ValueError(
+            "ouster metadata json lacks beam_altitude_angles / "
+            "beam_azimuth_angles — not a sensor info file")
+    alt = np.asarray(alt_raw, np.float64)
+    az = np.asarray(az_raw, np.float64)
     n_mm = float(find("lidar_origin_to_beam_origin_mm", 15.806))
     fmt = find("lidar_data_format") or {}
     w = int(fmt.get("columns_per_frame", 0) or 0)

@@ -41,7 +41,18 @@ def absolute_error(
     poses_gt: Sequence[np.ndarray],
     align: bool = True,
 ) -> Dict[str, float]:
-    """ATE rot (deg) / trans (m) RMSE after optional Umeyama alignment."""
+    """ATE rot (deg) / trans (m) RMSE after optional Umeyama alignment.
+
+    Non-finite estimated poses (a diverged/aborted run) make the metric
+    NaN/inf rather than crashing SVD: they are excluded from the
+    alignment but still counted as infinite error, so a failed run
+    reports ate=inf instead of raising (the reference's evo-style eval
+    simply errors out; a recorded failure is more useful here)."""
+    finite = np.array([np.isfinite(p).all() for p in poses_est])
+    if not finite.all():
+        return {"ate_trans_rmse_m": float("inf"),
+                "ate_rot_rmse_deg": float("inf"),
+                "ate_nonfinite_poses": int((~finite).sum())}
     est_t = np.stack([p[:3, 3] for p in poses_est], axis=1)
     gt_t = np.stack([p[:3, 3] for p in poses_gt], axis=1)
     if align and est_t.shape[1] >= 3:

@@ -8,10 +8,17 @@ gradient-anomaly down-weighting, then ``implicit_reg`` (:608-688) solves the
 6x6 normal equations in float64 with LM damping and retracts via expmap;
 degeneracy is detected from the translation-block eigenvalues.
 
-TPU split: the per-point work (query, gradients, weights, J^T J / J^T r
-reduction) is one fused jitted kernel returning a 6x6 + 6 + scalars; the
-tiny f64 solve, pose composition, and the convergence / health state
-machine stay on host (SURVEY.md §7.1: f64 pose math host-side).
+TPU split: the whole GN/LM iteration — per-point query/weight/reduction,
+the damped 6x6 solve, the expmap retraction, and the convergence state
+machine — runs in ONE jitted ``lax.while_loop`` per frame (the reference
+loops ~50 python iterations with a device sync each; over a TPU tunnel
+each sync costs ms, so the loop is the dispatch bottleneck, not the
+math). The 6x6 solve is done in f32 after symmetric Jacobi equilibration
+(D^-1/2 H D^-1/2 has unit diagonal, so LM damping becomes +lambda*I and
+the condition number drops to the correlation structure), which keeps
+f32 well within the tracker's mm-scale tolerance; only the final f64
+health checks (eigenvalue degeneracy, covariance) stay host-side on the
+single returned H.
 
 Twist convention: xi = [rho(3), phi(3)], perturbation T <- exp(xi) T, so
 J_row = [grad^T, (x ^ grad)^T] with x the transformed point.
@@ -28,7 +35,7 @@ import numpy as np
 
 from pings_tpu.models import field
 from pings_tpu.models import neural_points as npm
-from pings_tpu.utils import pose as hp
+from pings_tpu.ops import transforms as tf
 
 
 class RegStats(NamedTuple):
@@ -58,7 +65,6 @@ def make_registration_step(cfg):
         i = jnp.mean(c[0])
         return i, (i, v[0])
 
-    @jax.jit
     def reg_step(m: npm.NeuralPointMap, decoders, src: jnp.ndarray,
                  src_mask: jnp.ndarray, src_intensity: jnp.ndarray,
                  T: jnp.ndarray) -> RegStats:
@@ -114,6 +120,68 @@ def make_registration_step(cfg):
     return reg_step
 
 
+class LoopOut(NamedTuple):
+    T: jnp.ndarray           # (4, 4) f32 final pose
+    H: jnp.ndarray           # (6, 6) final normal equations (health checks)
+    mean_res: jnp.ndarray    # () final weighted mean |residual|
+    valid_count: jnp.ndarray
+    total_count: jnp.ndarray
+    iterations: jnp.ndarray  # () i32 executed GN iterations
+
+
+def make_track_loop(cfg):
+    """Whole-frame GN/LM registration as one jitted while_loop.
+
+    Replicates the reference host loop's control flow exactly
+    (utils/tracker.py:43-152): break *before* retracting when fewer than
+    10 residuals survive gating; retract, then break on small update;
+    break on divergence (mean_res > 2x best-so-far after iter 5).
+    """
+    reg_step = make_registration_step(cfg)
+    lm = cfg.reg_lm_lambda
+    term_rot = float(np.radians(cfg.reg_term_thre_deg))
+    term_tr = cfg.reg_term_thre_m
+
+    @functools.partial(jax.jit, static_argnames=("max_iter",))
+    def track_loop(m, decoders, src, msk, inten, T0, max_iter: int):
+        eye6 = jnp.eye(6, dtype=jnp.float32)
+
+        def cond(c):
+            return (~c[0]) & (c[1] < max_iter)
+
+        def body(c):
+            _, it, T, last_res, _ = c
+            stats = reg_step(m, decoders, src, msk, inten, T)
+            few = stats.valid_count < 10
+            # damped solve (H + lm*diag(H)) xi = g with symmetric Jacobi
+            # equilibration: xi = y/d where (H/dd^T + lm I) y = g/d
+            d = jnp.sqrt(jnp.maximum(jnp.diag(stats.H), 1e-9))
+            Hs = stats.H / (d[:, None] * d[None, :])
+            xi = jnp.linalg.solve(Hs + lm * eye6, stats.g / d) / d
+            T_new = tf.se3_exp(xi) @ T
+            small = ((jnp.linalg.norm(xi[3:]) < term_rot)
+                     & (jnp.linalg.norm(xi[:3]) < term_tr))
+            diverged = (stats.mean_res > 2.0 * last_res) & (it > 5)
+            bad = ~jnp.isfinite(xi).all()
+            stop = few | small | diverged | bad
+            T_out = jnp.where(few | bad, T, T_new)
+            return (stop, it + 1,
+                    T_out, jnp.minimum(last_res, stats.mean_res), stats)
+
+        init_stats = RegStats(
+            jnp.zeros((6, 6), jnp.float32), jnp.zeros(6, jnp.float32),
+            jnp.float32(jnp.inf), jnp.int32(0), jnp.int32(0))
+        stop, it, T, _, stats = jax.lax.while_loop(
+            cond, body,
+            (jnp.bool_(False), jnp.int32(0),
+             T0.astype(jnp.float32), jnp.float32(jnp.inf), init_stats))
+        del stop
+        return LoopOut(T, stats.H, stats.mean_res, stats.valid_count,
+                       stats.total_count, it)
+
+    return track_loop
+
+
 class TrackResult(NamedTuple):
     T_w_l: np.ndarray        # (4, 4) f64 pose estimate
     valid: bool
@@ -129,7 +197,7 @@ class Tracker:
 
     def __init__(self, cfg):
         self.cfg = cfg
-        self._reg_step = make_registration_step(cfg)
+        self._track_loop = make_track_loop(cfg)
 
     def track(
         self,
@@ -143,48 +211,26 @@ class Tracker:
         # -1 (or omitted) = no color measurement for that point
     ) -> TrackResult:
         cfg = self.cfg
-        T = np.asarray(init_T_w_l, np.float64).copy()
         src = jnp.asarray(source, jnp.float32)
         msk = jnp.asarray(source_mask)
         if source_intensity is None:
             inten = jnp.full((source.shape[0],), -1.0, jnp.float32)
         else:
             inten = jnp.asarray(source_intensity, jnp.float32)
-        term_rot = np.radians(cfg.reg_term_thre_deg)
-        term_tr = cfg.reg_term_thre_m
-        lm = cfg.reg_lm_lambda
         max_iter = max_iter or cfg.reg_iter_n
 
-        last_res = np.inf
-        valid_ratio = 0.0
-        mean_res = np.inf
-        H_np = None
-        it = 0
-        for it in range(max_iter):
-            stats = self._reg_step(m, decoders, src, msk, inten,
-                                   jnp.asarray(T, jnp.float32))
-            H_np = np.asarray(stats.H, np.float64)
-            g_np = np.asarray(stats.g, np.float64)
-            mean_res = float(stats.mean_res)
-            vc = int(stats.valid_count)
-            tc = max(int(stats.total_count), 1)
-            valid_ratio = vc / tc
-            if vc < 10:
-                break
-            # LM damping scaled by the diagonal
-            D = np.diag(np.maximum(np.diag(H_np), 1e-9))
-            try:
-                xi = np.linalg.solve(H_np + lm * D, g_np)
-            except np.linalg.LinAlgError:
-                break
-            T = hp.se3_exp(xi) @ T
-            if (np.linalg.norm(xi[3:]) < term_rot
-                    and np.linalg.norm(xi[:3]) < term_tr):
-                break
-            # divergence guard (tracker.py:133-152)
-            if mean_res > 2.0 * last_res and it > 5:
-                break
-            last_res = min(last_res, mean_res)
+        out = self._track_loop(m, decoders, src, msk, inten,
+                               jnp.asarray(init_T_w_l, jnp.float32),
+                               max_iter=int(max_iter))
+        # single host sync for the whole frame
+        out = jax.device_get(out)
+        T = np.asarray(out.T, np.float64)
+        H_np = np.asarray(out.H, np.float64)
+        mean_res = float(out.mean_res)
+        vc = int(out.valid_count)
+        tc = max(int(out.total_count), 1)
+        valid_ratio = vc / tc
+        it = max(int(out.iterations) - 1, 0)
 
         # health checks (tracker.py:153-207)
         valid = True

@@ -239,6 +239,15 @@ class SlamSystem:
             self._train(pre, fid, rep)
         rep.timings["training"] = time.time() - t4
         rep.n_points = int(self.m.count)
+        if os.environ.get("PINGS_DEBUG_FINITE"):
+            v = self.m.valid_mask[:, None]
+            rep.metrics["dbg_geo_bad"] = int(jnp.sum(
+                ~jnp.isfinite(self.m.geo_feat) & v))
+            rep.metrics["dbg_pos_bad"] = int(jnp.sum(
+                ~jnp.isfinite(self.m.positions) & v))
+            rep.metrics["dbg_dec_bad"] = int(sum(
+                jnp.sum(~jnp.isfinite(x))
+                for x in jax.tree.leaves(self.decoders)))
         return rep
 
     def merged_point_cloud(self) -> np.ndarray:

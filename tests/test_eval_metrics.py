@@ -94,3 +94,19 @@ def test_downsample_cam_pyramid():
     # level 0 is the identity
     c0 = downsample_cam(cam, 0)
     assert c0 is cam
+
+
+def test_ate_nonfinite_poses_reported_not_raised():
+    """A diverged run (NaN poses) must record ate=inf, not crash the
+    results writer with an SVD nonconvergence (round-3 kitti_synth
+    failure mode)."""
+    from pings_tpu.eval.traj import absolute_error
+
+    gt = [np.eye(4) for _ in range(6)]
+    for i, g in enumerate(gt):
+        g[:3, 3] = [i * 0.5, 0, 0]
+    est = [g.copy() for g in gt]
+    est[4][:3, 3] = np.nan
+    out = absolute_error(est, gt)
+    assert out["ate_trans_rmse_m"] == float("inf")
+    assert out["ate_nonfinite_poses"] == 1

@@ -264,6 +264,15 @@ def test_nuscenes_schema(tmp_path, rng):
     np.testing.assert_allclose(fr["gt_pose"], gt)
 
 
-def test_ouster_stub_raises():
-    with pytest.raises(ImportError):
+def test_ouster_bad_inputs_raise(tmp_path):
+    """The real pcap loader (tests/test_dataloaders.py exercises the
+    happy path) must fail with clear errors, not crash, on garbage."""
+    with pytest.raises((FileNotFoundError, OSError, ValueError)):
         dataset_factory("ouster", "/nonexistent", "")
+    # a pcap with a metadata json that is valid json but not a sensor
+    # info file -> ValueError from parse_metadata, not a TypeError
+    p = tmp_path / "cap.pcap"
+    p.write_bytes(b"\xd4\xc3\xb2\xa1" + b"\0" * 20)
+    (tmp_path / "cap.json").write_text("{}")
+    with pytest.raises((ValueError, FileNotFoundError)):
+        dataset_factory("ouster", str(p), "")
