@@ -135,7 +135,8 @@ def run(args) -> dict:
                   f"{' LOOP' if rep.loop_closed else ''} {mets}",
                   flush=True)
         if system.aborted:
-            print("Lose track for a long time, system failed")
+            print(f"System failed: {system.abort_reason or 'lost track'} "
+                  "— writing results before the failure point", flush=True)
             break
     wall = time.time() - t_start
 
@@ -216,7 +217,9 @@ def write_results(run_dir, cfg, system, ds, reports, gt, wall) -> dict:
     results = {"frames": len(reports), "wall_s": wall,
                "sec_per_frame": wall / max(len(reports), 1),
                "map_points": int(system.m.count),
-               "loops": system.n_loops}
+               "loops": system.n_loops,
+               "aborted": bool(system.aborted),
+               "abort_reason": system.abort_reason}
     # per-stage runtime budget (mean sec/frame per stage; the reference
     # reports ~5 s/frame on A6000 with GS mapping dominating,
     # paper.md:406 — this surfaces where OUR frame time goes, incl. the

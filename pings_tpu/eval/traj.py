@@ -43,12 +43,13 @@ def absolute_error(
 ) -> Dict[str, float]:
     """ATE rot (deg) / trans (m) RMSE after optional Umeyama alignment.
 
-    Non-finite estimated poses (a diverged/aborted run) make the metric
-    NaN/inf rather than crashing SVD: they are excluded from the
-    alignment but still counted as infinite error, so a failed run
-    reports ate=inf instead of raising (the reference's evo-style eval
-    simply errors out; a recorded failure is more useful here)."""
-    finite = np.array([np.isfinite(p).all() for p in poses_est])
+    Any non-finite pose (est or gt — a diverged/aborted run) short-
+    circuits: no alignment is attempted and ate=inf is returned with the
+    offending pose count, so a failed run reports a recorded failure
+    instead of crashing the Umeyama SVD (the reference's evo-style eval
+    simply errors out)."""
+    finite = np.array([np.isfinite(pe).all() and np.isfinite(pg).all()
+                       for pe, pg in zip(poses_est, poses_gt)])
     if not finite.all():
         return {"ate_trans_rmse_m": float("inf"),
                 "ate_rot_rmse_deg": float("inf"),

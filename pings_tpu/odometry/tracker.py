@@ -141,6 +141,14 @@ def make_track_loop(cfg):
     lm = cfg.reg_lm_lambda
     term_rot = float(np.radians(cfg.reg_term_thre_deg))
     term_tr = cfg.reg_term_thre_m
+    # max sane per-iteration update: the SDF registration basin is only
+    # ~surface_sample_range wide, so a GN step that wants to translate the
+    # sensor by the reference's lose-track bound (40 x that range,
+    # slam_dataset.py:733-740) can only come from a near-singular Hessian
+    # slipping past the damping — stop without retracting instead of
+    # committing a wild pose that the health gates downstream may not catch
+    max_step_tr = 40.0 * cfg.surface_sample_range_m
+    max_step_rot = 1.0  # rad; >57 deg in ONE GN step is never registration
 
     @functools.partial(jax.jit, static_argnames=("max_iter",))
     def track_loop(m, decoders, src, msk, inten, T0, max_iter: int):
@@ -162,7 +170,9 @@ def make_track_loop(cfg):
             small = ((jnp.linalg.norm(xi[3:]) < term_rot)
                      & (jnp.linalg.norm(xi[:3]) < term_tr))
             diverged = (stats.mean_res > 2.0 * last_res) & (it > 5)
-            bad = ~jnp.isfinite(xi).all()
+            bad = (~jnp.isfinite(xi).all()
+                   | (jnp.linalg.norm(xi[:3]) > max_step_tr)
+                   | (jnp.linalg.norm(xi[3:]) > max_step_rot))
             stop = few | small | diverged | bad
             T_out = jnp.where(few | bad, T, T_new)
             return (stop, it + 1,
@@ -225,17 +235,36 @@ class Tracker:
         # single host sync for the whole frame
         out = jax.device_get(out)
         T = np.asarray(out.T, np.float64)
+        # the loop composes ~50 f32 expmap retractions; re-orthonormalize
+        # the rotation on host so the committed pose does not accumulate
+        # orthonormality drift across thousands of frames
+        U, _, Vt = np.linalg.svd(T[:3, :3])
+        R = U @ Vt
+        if np.linalg.det(R) > 0:
+            T[:3, :3] = R
         H_np = np.asarray(out.H, np.float64)
         mean_res = float(out.mean_res)
         vc = int(out.valid_count)
         tc = max(int(out.total_count), 1)
         valid_ratio = vc / tc
-        it = max(int(out.iterations) - 1, 0)
+        it = int(out.iterations)
 
         # health checks (tracker.py:153-207)
         valid = True
         degenerate = False
         cov = None
+        # final-pose jump gate: even when every residual/ratio/eigenvalue
+        # gate passes (registration against corrupted geometry can satisfy
+        # them all), a solution that moved more than the reference's
+        # single-frame lose-track bound away from the initial guess is
+        # never a valid registration (slam_dataset.py:733-740)
+        d_tr = float(np.linalg.norm(T[:3, 3] - init_T_w_l[:3, 3]))
+        dR = init_T_w_l[:3, :3].T @ T[:3, :3]
+        d_rot = float(np.degrees(np.arccos(
+            np.clip((np.trace(dR) - 1.0) / 2.0, -1.0, 1.0))))
+        if (d_tr > 40.0 * cfg.surface_sample_range_m) or (d_rot > 60.0):
+            valid = False
+            degenerate = True
         if valid_ratio < cfg.valid_ratio_thre:
             valid = False
         if mean_res * 100.0 > cfg.max_valid_final_sdf_residual_cm:
@@ -265,5 +294,5 @@ class Tracker:
                 cov = np.linalg.inv(H_np + 1e-9 * np.eye(6))
             except np.linalg.LinAlgError:
                 cov = None
-        return TrackResult(T, valid, mean_res, valid_ratio, it + 1, cov,
+        return TrackResult(T, valid, mean_res, valid_ratio, it, cov,
                            degenerate)

@@ -85,6 +85,7 @@ class SlamSystem:
         self.frame_id = -1
         self.lose_track_count = 0
         self.aborted = False
+        self.abort_reason = ""
         self.n_loops = 0
         # robot-stop detection (reference slam_dataset.py:709-721)
         self.stop_count = 0
@@ -181,10 +182,32 @@ class SlamSystem:
             else:
                 T = pre.gt_pose if pre.gt_pose is not None else T_guess
                 rep.tracking_valid = True
+            # single-frame-jump abort (reference slam_dataset.py:733-740):
+            # a per-frame translation beyond 40 x surface_sample_range_m is
+            # never physical — do NOT commit the pose (fall back to the
+            # motion-model guess so T_rel_last stays bounded) and stop the
+            # run so results are written before the failure point. This is
+            # the guard whose absence let the round-3 kitti run compound a
+            # finite-but-wild pose exponentially into NaN.
+            if cfg.track_on:
+                jump = float(np.linalg.norm(
+                    (hp.se3_inv(self.poses[-1]) @ T)[:3, 3]))
+                if jump > 40.0 * cfg.surface_sample_range_m:
+                    rep.tracking_valid = False
+                    T = T_guess
+                    self.aborted = True
+                    self.abort_reason = (
+                        f"too large translation in one frame "
+                        f"({jump:.2f} m > "
+                        f"{40.0 * cfg.surface_sample_range_m:.2f} m)")
             if not rep.tracking_valid:
                 self.lose_track_count += 1
                 if self.lose_track_count > cfg.lose_track_abort_n:
                     self.aborted = True
+                    if not self.abort_reason:
+                        self.abort_reason = (
+                            "lose track for more than "
+                            f"{cfg.lose_track_abort_n} consecutive frames")
             else:
                 self.lose_track_count = 0
             self.T_rel_last = hp.se3_inv(self.poses[-1]) @ T
