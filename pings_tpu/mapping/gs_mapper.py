@@ -175,6 +175,11 @@ def make_gsdf_step(cfg, optimizer, width: int, height: int,
              depth_w=1.0, train_pose=False, bins=None, bin_means=None,
              cached_contrib=None, use_bins=False):
 
+        # the concurrent SDF batch's neighbor search depends only on
+        # non-trainable map state — run it once, outside autodiff
+        kidx_b = npm.query_neighbor_idx(static_map, sdf_batch[0], k,
+                                        stencil_r, alpha_s)
+
         def loss_fn(p):
             m, d = apply_gs_params(static_map, decoders, p)
             local = LocalPointData(
@@ -283,30 +288,37 @@ def make_gsdf_step(cfg, optimizer, width: int, height: int,
             top_idx = jax.lax.top_k(score, S)[1]
             gsel_mask = score[top_idx] > 0.0
             centers = jax.lax.stop_gradient(g.means[top_idx])
-            sdf_c, _, v_c = field.sdf_at(m, d, centers, sigma_scale, k,
-                                         stencil_r, alpha_s)
+            # one neighbor search shared by the SDF value and its 6 FD
+            # normal probes (the search has no gradient path: centers are
+            # stop_gradient'ed and neighbor selection is piecewise const)
+            kidx_c = npm.query_neighbor_idx(m, centers, k, stencil_r,
+                                            alpha_s)
+            q_c = npm.eval_neighbors(m, centers, kidx_c, stencil_r, alpha_s)
+            sdf_c, _, v_c = field.sdf_from_query(d, q_c, sigma_scale)
             v_cf = (gsel_mask & v_c).astype(jnp.float32)
             gs_sdf = jnp.sum(jnp.abs(sdf_c) * v_cf) / jnp.maximum(
                 jnp.sum(v_cf), 1.0)
             # normal alignment
             gq = rz.quat_to_rotmat(g.quats[top_idx])
             gnormal = gq[:, :, 2]
-            sgrad = field.sdf_grad_numerical(m, d, centers, sigma_scale,
-                                             grad_delta, k, stencil_r,
-                                             alpha_s)
+            sgrad = field.sdf_grad_numerical_nn(m, d, centers, kidx_c,
+                                                sigma_scale, grad_delta,
+                                                stencil_r, alpha_s)
             sgrad_n = sgrad / jnp.sqrt(
                 jnp.sum(sgrad * sgrad, axis=-1, keepdims=True) + 1e-12)
             align = 1.0 - jnp.abs(jnp.sum(gnormal * sgrad_n, axis=-1))
             gs_nrm = jnp.sum(align * v_cf) / jnp.maximum(jnp.sum(v_cf), 1.0)
 
-            # concurrent SDF batch (mapper.py:1493-1544)
+            # concurrent SDF batch (mapper.py:1493-1544) — shares the
+            # batch neighbor table hoisted out of the loss closure below
             pts_b, sdf_lab, col_lab, w_b, valid_b = sdf_batch[:5]
-            sdf_p, _, qv = field.sdf_at(m, d, pts_b, sigma_scale, k,
-                                        stencil_r, alpha_s)
+            q_b = npm.eval_neighbors(m, pts_b, kidx_b, stencil_r, alpha_s)
+            sdf_p, _, qv = field.sdf_from_query(d, q_b, sigma_scale)
             vb = (valid_b & qv).astype(jnp.float32)
             bce = losses.sdf_bce_loss(sdf_p, sdf_lab, w_b, sigma, vb)
-            gb = field.sdf_grad_numerical(m, d, pts_b[:eik_n], sigma_scale,
-                                          grad_delta, k, stencil_r, alpha_s)
+            gb = field.sdf_grad_numerical_nn(m, d, pts_b[:eik_n],
+                                             kidx_b[:eik_n], sigma_scale,
+                                             grad_delta, stencil_r, alpha_s)
             eik = losses.eikonal_loss(gb, vb[:eik_n])
 
             scale_dims = 3 if cfg.gs_type == "3d_gs" else 2

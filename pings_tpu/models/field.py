@@ -22,6 +22,19 @@ from pings_tpu.models import decoder as dec
 from pings_tpu.models import neural_points as npm
 
 
+def sdf_from_query(decoders, q: "npm.QueryResult", sigma_scale: float):
+    """Decode + IDW-blend SDF from an existing query result."""
+    per_nb = dec.mlp_forward(decoders["sdf"], q.feat)[..., 0] * sigma_scale
+    sdf = jnp.sum(per_nb * q.weights, axis=-1)
+    var = jnp.sum(q.weights * (per_nb - sdf[..., None]) ** 2, axis=-1)
+    return sdf, jnp.sqrt(jnp.maximum(var, 0.0)), q.valid
+
+
+def color_from_query(decoders, q: "npm.QueryResult"):
+    per_nb = jax.nn.sigmoid(dec.mlp_forward(decoders["color"], q.color_feat))
+    return jnp.sum(per_nb * q.weights[..., None], axis=-2), q.valid
+
+
 def sdf_at(
     m: npm.NeuralPointMap,
     decoders,
@@ -40,10 +53,7 @@ def sdf_at(
     q = npm.query_feature(m, pts, k=k, stencil_r=stencil_r,
                           search_alpha=search_alpha,
                           use_local_mask=use_local_mask)
-    per_nb = dec.mlp_forward(decoders["sdf"], q.feat)[..., 0] * sigma_scale
-    sdf = jnp.sum(per_nb * q.weights, axis=-1)
-    var = jnp.sum(q.weights * (per_nb - sdf[..., None]) ** 2, axis=-1)
-    return sdf, jnp.sqrt(jnp.maximum(var, 0.0)), q.valid
+    return sdf_from_query(decoders, q, sigma_scale)
 
 
 def color_at(m, decoders, pts, k=6, stencil_r=1, search_alpha=0.2,
@@ -51,8 +61,7 @@ def color_at(m, decoders, pts, k=6, stencil_r=1, search_alpha=0.2,
     q = npm.query_feature(m, pts, k=k, stencil_r=stencil_r,
                           search_alpha=search_alpha,
                           use_local_mask=use_local_mask)
-    per_nb = jax.nn.sigmoid(dec.mlp_forward(decoders["color"], q.color_feat))
-    return jnp.sum(per_nb * q.weights[..., None], axis=-2), q.valid
+    return color_from_query(decoders, q)
 
 
 def dynamic_mask_from(sdf: jnp.ndarray, certainty: jnp.ndarray,
@@ -127,19 +136,36 @@ def check_invalid_gs(
     return m.replace(valid_gs_mask=mask)
 
 
+def sdf_grad_numerical_nn(
+    m, decoders, pts, kidx, sigma_scale, delta: float,
+    stencil_r=1, search_alpha=0.2,
+) -> jnp.ndarray:
+    """Central-difference SDF gradient REUSING a center-point neighbor
+    table (VERDICT r3 item 2): the FD step (~0.2 voxel) is far smaller
+    than the search radius, so the 6 probes share the center's K nearest
+    neighbors; only distances/weights/offsets are re-evaluated per probe.
+    Turns 6 full stencil queries into 6 light (N, K)-row evaluations."""
+    offs = jnp.concatenate([jnp.eye(3), -jnp.eye(3)], axis=0) * delta  # (6,3)
+    shifted = pts[:, None, :] + offs[None, :, :]        # (N, 6, 3)
+    n = pts.shape[0]
+    flat = shifted.reshape(-1, 3)
+    kidx6 = jnp.repeat(kidx, 6, axis=0)                 # (N*6, K)
+    q = npm.eval_neighbors(m, flat, kidx6, stencil_r, search_alpha)
+    s, _, _ = sdf_from_query(decoders, q, sigma_scale)
+    s = s.reshape(n, 6)
+    return (s[:, :3] - s[:, 3:]) / (2.0 * delta)
+
+
 def sdf_grad_numerical(
     m, decoders, pts, sigma_scale, delta: float,
     k=6, stencil_r=1, search_alpha=0.2, use_local_mask=False,
 ) -> jnp.ndarray:
     """Central-difference SDF gradient (reference get_numerical_gradient,
-    mapper.py:2319-2369). 6 extra queries per point."""
-    offs = jnp.concatenate([jnp.eye(3), -jnp.eye(3)], axis=0) * delta  # (6,3)
-    shifted = pts[:, None, :] + offs[None, :, :]
-    flat = shifted.reshape(-1, 3)
-    s, _, _ = sdf_at(m, decoders, flat, sigma_scale, k, stencil_r,
-                     search_alpha, use_local_mask)
-    s = s.reshape(pts.shape[0], 6)
-    return (s[:, :3] - s[:, 3:]) / (2.0 * delta)
+    mapper.py:2319-2369). One neighbor search + 6 light evaluations."""
+    kidx = npm.query_neighbor_idx(m, pts, k, stencil_r, search_alpha,
+                                  use_local_mask)
+    return sdf_grad_numerical_nn(m, decoders, pts, kidx, sigma_scale,
+                                 delta, stencil_r, search_alpha)
 
 
 def sdf_grad_analytical(
@@ -147,13 +173,20 @@ def sdf_grad_analytical(
     k=6, stencil_r=1, search_alpha=0.2, use_local_mask=False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(sdf, grad, sdf_std, valid) via autodiff w.r.t. query position
-    (reference: tools.py:409-420 get_gradient). One vjp per point, batched."""
+    (reference: tools.py:409-420 get_gradient). The neighbor *selection*
+    (piecewise constant in p, hence zero-gradient) is hoisted out of the
+    differentiated computation, so autodiff only traverses the light
+    (N, K) evaluation — the (N, S) stencil gathers never enter the
+    backward pass."""
+    kidx = npm.query_neighbor_idx(m, pts, k, stencil_r, search_alpha,
+                                  use_local_mask)
 
-    def f(p):
-        s, std, v = sdf_at(m, decoders, p[None, :], sigma_scale, k,
-                           stencil_r, search_alpha, use_local_mask)
+    def f(p, krow):
+        q = npm.eval_neighbors(m, p[None, :], krow[None, :], stencil_r,
+                               search_alpha)
+        s, std, v = sdf_from_query(decoders, q, sigma_scale)
         return s[0], (s[0], std[0], v[0])
 
-    grad_fn = jax.vmap(jax.grad(f, has_aux=True))
-    g, (s, std, v) = grad_fn(pts)
+    grad_fn = jax.vmap(jax.grad(f, has_aux=True), in_axes=(0, 0))
+    g, (s, std, v) = grad_fn(pts, kidx)
     return s, g, std, v

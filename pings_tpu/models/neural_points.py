@@ -257,20 +257,25 @@ class QueryResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "stencil_r", "search_alpha", "use_local_mask"))
-def query_feature(
+def query_neighbor_idx(
     m: NeuralPointMap,
     qpts: jnp.ndarray,          # (N, 3)
     k: int = 6,
     stencil_r: int = 1,
     search_alpha: float = 0.2,
     use_local_mask: bool = False,
-) -> QueryResult:
-    """K-nearest neural points via stencil hash lookup + IDW weights.
+) -> jnp.ndarray:
+    """The HEAVY half of a neural-point query: stencil hash lookup +
+    K-nearest selection. Returns (N, K) i32 neighbor rows (cap = invalid).
 
-    Output feature layout per neighbor: [geo_feat(F), (q - p) offset(3)] with
-    the offset expressed in the world frame scaled by 1/resolution —
-    the decoder learns resolution-relative geometry.
-    """
+    Split out so one neighbor table can be shared by several evaluations
+    of (almost) the same points — the SDF value, its 6 finite-difference
+    eikonal probes, and the color decode of a training batch all reuse one
+    table. The stencil gathers here touch N*S rows of HBM at random
+    (S = |stencil| ~ 27-33); sharing them is the single biggest lever on
+    the mapping-loop cost (VERDICT r3 item 2). Non-differentiable by
+    construction: call OUTSIDE the loss closure so autodiff never sees
+    the (N, S) gathers."""
     stencil = jnp.asarray(make_stencil(stencil_r, search_alpha))  # (S, 3)
     res = m.resolution
     cap = m.capacity
@@ -291,17 +296,40 @@ def query_feature(
     d2 = jnp.where(invalid, jnp.inf, d2)
 
     neg_d2, sel = jax.lax.top_k(-d2, k)                           # (N, K)
-    kd2 = -neg_d2
     kidx = jnp.take_along_axis(idx, sel, axis=1)
-    kinvalid = ~jnp.isfinite(kd2)
+    return jnp.where(jnp.isfinite(neg_d2), kidx, cap)
+
+
+def eval_neighbors(
+    m: NeuralPointMap,
+    qpts: jnp.ndarray,          # (N, 3)
+    kidx: jnp.ndarray,          # (N, K) from query_neighbor_idx
+    stencil_r: int = 1,
+    search_alpha: float = 0.2,
+) -> QueryResult:
+    """The LIGHT half: gather the K selected rows, recompute distances /
+    IDW weights / offsets for ``qpts``. Differentiable in ``qpts`` (the
+    weights and offsets are recomputed here), so evaluating a shared
+    neighbor table at slightly shifted points (FD probes, GN iterations)
+    stays exact up to the neighbor *selection*, which is piecewise
+    constant anyway. Neighbors that fall outside the search radius for
+    these particular points are re-invalidated."""
+    res = m.resolution
+    cap = m.capacity
+    kinvalid = kidx >= cap
+    npos = m.positions[kidx]                                      # (N, K, 3)
+    d2 = jnp.sum((qpts[:, None, :] - npos) ** 2, axis=-1)
+    max_r2 = ((stencil_r + search_alpha) * res) ** 2
+    kinvalid |= d2 > max_r2
     kidx = jnp.where(kinvalid, cap, kidx)
+    d2 = jnp.where(kinvalid, jnp.inf, d2)
 
     eps = 1e-6
-    w = jnp.where(kinvalid, 0.0, 1.0 / (kd2 + eps))
+    w = jnp.where(kinvalid, 0.0, 1.0 / (d2 + eps))
     wsum = jnp.sum(w, axis=-1, keepdims=True)
     w = w / jnp.maximum(wsum, eps)
 
-    off = (qpts[:, None, :] - m.positions[kidx]) / res            # (N, K, 3)
+    off = (qpts[:, None, :] - npos) / res                         # (N, K, 3)
     off = jnp.where(kinvalid[..., None], 0.0, off)
     gf = jnp.where(kinvalid[..., None], 0.0, m.geo_feat[kidx])
     cf = jnp.where(kinvalid[..., None], 0.0, m.color_feat[kidx])
@@ -309,6 +337,32 @@ def query_feature(
     cfeat = jnp.concatenate([cf, off], axis=-1)
     nn_count = jnp.sum(~kinvalid, axis=-1)
     return QueryResult(feat, cfeat, w, kidx, nn_count, nn_count > 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "stencil_r", "search_alpha", "use_local_mask"))
+def query_feature(
+    m: NeuralPointMap,
+    qpts: jnp.ndarray,          # (N, 3)
+    k: int = 6,
+    stencil_r: int = 1,
+    search_alpha: float = 0.2,
+    use_local_mask: bool = False,
+) -> QueryResult:
+    """K-nearest neural points via stencil hash lookup + IDW weights.
+
+    Output feature layout per neighbor: [geo_feat(F), (q - p) offset(3)] with
+    the offset expressed in the world frame scaled by 1/resolution —
+    the decoder learns resolution-relative geometry.
+
+    Composition of query_neighbor_idx (heavy, shareable) and
+    eval_neighbors (light, differentiable); callers that evaluate several
+    near-identical point sets should call the halves directly.
+    """
+    kidx = query_neighbor_idx(m, qpts, k, stencil_r, search_alpha,
+                              use_local_mask)
+    return eval_neighbors(m, qpts, kidx, stencil_r, search_alpha)
 
 
 def accumulate_certainty(m: NeuralPointMap, q: QueryResult) -> NeuralPointMap:
