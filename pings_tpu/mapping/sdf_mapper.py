@@ -116,16 +116,11 @@ def guard_nonfinite(grads):
     return grads, ~finite
 
 
-def make_sdf_step(cfg, optimizer: optax.GradientTransformation):
-    """Build the jitted SDF training step.
-
-    step(params, opt_state, batch, static_map, decoders, freeze) ->
-        (params, opt_state, metrics)
-
-    ``static_map`` supplies non-trainable map state (positions/hash/masks);
-    trainable features live in ``params``. ``freeze`` (traced bool) zeroes
-    decoder grads after cfg.freeze_after_frame (reference freeze_decoders,
-    mapper.py:470-476)."""
+def _make_sdf_step_body(cfg, optimizer):
+    """The un-jitted single-iteration body shared by make_sdf_step (one
+    dispatch per iteration) and make_sdf_scan_step (all of a frame's
+    iterations in ONE dispatch — on a tunneled TPU the per-dispatch
+    latency dominates the mapping loop, see scripts/profile_training.py)."""
     k = cfg.query_nn_k
     stencil_r = cfg.num_nei_cells
     alpha = cfg.search_alpha
@@ -139,7 +134,6 @@ def make_sdf_step(cfg, optimizer: optax.GradientTransformation):
     weight_c = cfg.weight_c
     weight_s = cfg.weight_s
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, static_map, decoders, freeze):
         pts, sdf_label, color_label, weight, valid, sem_label = (
             batch if len(batch) == 6 else (*batch, None))
@@ -204,6 +198,56 @@ def make_sdf_step(cfg, optimizer: optax.GradientTransformation):
         return params, opt_state, metrics
 
     return step
+
+
+def make_sdf_step(cfg, optimizer: optax.GradientTransformation):
+    """Build the jitted SDF training step.
+
+    step(params, opt_state, batch, static_map, decoders, freeze) ->
+        (params, opt_state, metrics)
+
+    ``static_map`` supplies non-trainable map state (positions/hash/masks);
+    trainable features live in ``params``. ``freeze`` (traced bool) zeroes
+    decoder grads after cfg.freeze_after_frame (reference freeze_decoders,
+    mapper.py:470-476)."""
+    body = _make_sdf_step_body(cfg, optimizer)
+    return jax.jit(body, donate_argnums=(0, 1))
+
+
+def make_sdf_scan_step(cfg, optimizer: optax.GradientTransformation):
+    """All of a frame's SDF iterations in ONE dispatch.
+
+    step(params, opt_state, pool, key, static_map, decoders, freeze,
+         iters=N) -> (params, opt_state, stacked_metrics)
+
+    Batches are drawn from the replay pool *inside* the scan (the pool is
+    device state), so a frame's whole ``mapping_iters`` loop — previously
+    ~3 dispatches per iteration over the TPU tunnel — costs one dispatch.
+    ``iters`` is static; the adaptive-iteration scheme yields only a
+    handful of distinct values so compile count stays bounded."""
+    from pings_tpu.mapping import pool as rp
+
+    body = _make_sdf_step_body(cfg, optimizer)
+    bs = cfg.bs
+    bs_new = min(cfg.bs_new_sample, cfg.bs // 2)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1),
+                       static_argnames=("iters",))
+    def scan_step(params, opt_state, pool, key, static_map, decoders,
+                  freeze, iters: int):
+        keys = jax.random.split(key, iters)
+
+        def scan_body(carry, k):
+            p, s = carry
+            batch = rp.pool_batch(pool, k, bs, bs_new)
+            p, s, met = body(p, s, batch, static_map, decoders, freeze)
+            return (p, s), met
+
+        (params, opt_state), mets = jax.lax.scan(
+            scan_body, (params, opt_state), keys)
+        return params, opt_state, mets
+
+    return scan_step
 
 
 def init_sdf_train(m: npm.NeuralPointMap, decoders, cfg):

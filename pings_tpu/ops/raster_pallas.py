@@ -78,6 +78,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -288,18 +289,23 @@ def _grid_tiles(T: int) -> int:
 # Forward kernels
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel_3dgs(counts_ref, attrs_ref, out_ref, trans_ref, *,
-                     ntx: int, tile: int, kmax: int, sup: int,
+def _fwd_kernel_3dgs(tile0_ref, counts_ref, attrs_ref, out_ref, trans_ref,
+                     *, ntx: int, tile: int, kmax: int, sup: int,
                      gtiles: int, fast: bool):
     """Blend ``gtiles`` tiles per grid step (batched to amortize the
-    fixed ~2 us/step pipeline overhead)."""
+    fixed ~2 us/step pipeline overhead).
+
+    ``tile0_ref`` (SMEM (1,)): global index of this shard's first tile —
+    0 single-chip; under tile-sharding (shard_map over the tile axis,
+    parallel/mesh.py) the local tile t sits at global pixel position
+    t + tile0."""
     P = tile * tile
     sb = _superblock(kmax, sup)
     tri_s = _tri(True, sb)
 
     for g in range(gtiles):
         t = pl.program_id(0) * gtiles + g
-        px, py = _pixel_grid(t, ntx, tile)
+        px, py = _pixel_grid(t + tile0_ref[0], ntx, tile)
         cnt = counts_ref[t]
 
         def super_body(j, carry, px=px, py=py, cnt=cnt, g=g):
@@ -329,7 +335,8 @@ def _fwd_kernel_3dgs(counts_ref, attrs_ref, out_ref, trans_ref, *,
         trans_ref[g] = trans
 
 
-def _fwd_kernel_surfel(counts_ref, attrs_ref, out_ref, trans_ref, med_ref,
+def _fwd_kernel_surfel(tile0_ref, counts_ref, attrs_ref, out_ref,
+                       trans_ref, med_ref,
                        *, ntx: int, tile: int, kmax: int, sup: int,
                        gtiles: int, fast: bool):
     P = tile * tile
@@ -342,7 +349,7 @@ def _fwd_kernel_surfel(counts_ref, attrs_ref, out_ref, trans_ref, med_ref,
 
     for g in range(gtiles):
         t = pl.program_id(0) * gtiles + g
-        px, py = _pixel_grid(t, ntx, tile)
+        px, py = _pixel_grid(t + tile0_ref[0], ntx, tile)
         cnt = counts_ref[t]
 
         def super_body(j, carry, px=px, py=py, cnt=cnt, g=g):
@@ -416,7 +423,8 @@ def _geom_grads(chunk, g_or_gp, w, dq, dx, dy, dexp, mode: str, fast):
             + dC * _lane_onehot(cc) + dopa * _lane_onehot(op))
 
 
-def _bwd_kernel_3dgs(counts_ref, attrs_ref, gout_ref, gtrans_ref, rho_ref,
+def _bwd_kernel_3dgs(tile0_ref, counts_ref, attrs_ref, gout_ref,
+                     gtrans_ref, rho_ref,
                      transf_ref, dattrs_ref, *, ntx: int, tile: int,
                      kmax: int, sup: int, gtiles: int, fast: bool):
     P = tile * tile
@@ -426,7 +434,7 @@ def _bwd_kernel_3dgs(counts_ref, attrs_ref, gout_ref, gtrans_ref, rho_ref,
 
     for gi_ in range(gtiles):
         t = pl.program_id(0) * gtiles + gi_
-        px, py = _pixel_grid(t, ntx, tile)
+        px, py = _pixel_grid(t + tile0_ref[0], ntx, tile)
         cnt = counts_ref[t]
         g = gout_ref[gi_]                       # (16, P)
         g_trans = gtrans_ref[gi_]               # (1, P)
@@ -477,8 +485,9 @@ def _bwd_kernel_3dgs(counts_ref, attrs_ref, gout_ref, gtrans_ref, rho_ref,
                            jnp.ones((1, P), jnp.float32)))
 
 
-def _bwd_kernel_surfel(counts_ref, attrs_ref, gout_ref, gtrans_ref,
-                       rho_ref, transf_ref, dattrs_ref, *, ntx: int,
+def _bwd_kernel_surfel(tile0_ref, counts_ref, attrs_ref, gout_ref,
+                       gtrans_ref, rho_ref, transf_ref, dattrs_ref, *,
+                       ntx: int,
                        tile: int, kmax: int, sup: int, gtiles: int,
                        fast: bool):
     P = tile * tile
@@ -491,7 +500,7 @@ def _bwd_kernel_surfel(counts_ref, attrs_ref, gout_ref, gtrans_ref,
 
     for gi_ in range(gtiles):
         t = pl.program_id(0) * gtiles + gi_
-        px, py = _pixel_grid(t, ntx, tile)
+        px, py = _pixel_grid(t + tile0_ref[0], ntx, tile)
         cnt = counts_ref[t]
         g = gout_ref[gi_]
         gp = g * lt6                             # blend-channel rows only
@@ -560,8 +569,14 @@ def _bwd_kernel_surfel(counts_ref, attrs_ref, gout_ref, gtrans_ref,
 # pallas_call wrappers + custom_vjp
 # ---------------------------------------------------------------------------
 
+def _t0_arr(tile0):
+    if tile0 is None:
+        return jnp.zeros((1,), jnp.int32)
+    return jnp.asarray(tile0, jnp.int32).reshape(1)
+
+
 def _blend_fwd_call(attrs, counts, ntx, nty, tile, sup, mode="3dgs",
-                    fast: bool = False):
+                    fast: bool = False, tile0=None):
     T, kmax, _ = attrs.shape
     P = tile * tile
     G = _grid_tiles(T)
@@ -581,21 +596,24 @@ def _blend_fwd_call(attrs, counts, ntx, nty, tile, sup, mode="3dgs",
     outs = pl.pallas_call(
         kern,
         grid=(T // G,),
-        in_specs=[pl.BlockSpec((T,), lambda t: (0,),
+        in_specs=[pl.BlockSpec((1,), lambda t: (0,),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((T,), lambda t: (0,),
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec((G, kmax, NCH), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         interpret=INTERPRET,
-    )(counts, attrs)
+    )(_t0_arr(tile0), counts, attrs)
     if mode == "surfel":
         return outs
     return outs[0], outs[1], jnp.zeros_like(outs[1])
 
 
 def _blend_bwd_call(attrs, counts, g_out, g_trans, rho, trans_final, ntx,
-                    nty, tile, sup, mode="3dgs", fast: bool = False):
+                    nty, tile, sup, mode="3dgs", fast: bool = False,
+                    tile0=None):
     T, kmax, _ = attrs.shape
     P = tile * tile
     G = _grid_tiles(T)
@@ -609,6 +627,7 @@ def _blend_bwd_call(attrs, counts, g_out, g_trans, rho, trans_final, ntx,
         kern,
         grid=(T // G,),
         in_specs=[
+            pl.BlockSpec((1,), lambda t: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((T,), lambda t: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((G, kmax, NCH), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -618,40 +637,45 @@ def _blend_bwd_call(attrs, counts, g_out, g_trans, rho, trans_final, ntx,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, kmax, NCH), jnp.float32),
         interpret=INTERPRET,
-    )(counts, attrs, g_out, g_trans, rho, trans_final)
+    )(_t0_arr(tile0), counts, attrs, g_out, g_trans, rho, trans_final)
     return dattrs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
-def _blend_gaussians(attr16, bins: TileBins, ntx: int, nty: int,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _blend_gaussians(attr16, bins: TileBins, tile0, ntx: int, nty: int,
                      tile: int, sup: int, mode: str = "3dgs",
                      fast: bool = False):
     """(N, 16) attrs + bins -> (T, 16, P) blended channels, (T, 1, P)
     final transmittance, (T, 1, P) median depth (surfel; zeros for 3dgs,
     forward-only either way). One custom_vjp over pack+blend so the
-    backward aggregates per-slot grads with a single scatter-add."""
+    backward aggregates per-slot grads with a single scatter-add.
+
+    ``tile0``: (1,) i32 global index of bins' first tile (None = 0) —
+    nonzero only when the bins are a tile shard (parallel/mesh.py)."""
     attrs = _pack_table(attr16, bins)
     return _blend_fwd_call(attrs, bins.counts, ntx, nty, tile, sup, mode,
-                           fast)
+                           fast, tile0)
 
 
-def _blend_g_fwd(attr16, bins, ntx, nty, tile, sup, mode="3dgs",
+def _blend_g_fwd(attr16, bins, tile0, ntx, nty, tile, sup, mode="3dgs",
                  fast=False):
     attrs = _pack_table(attr16, bins)
     out, trans, med = _blend_fwd_call(attrs, bins.counts, ntx, nty, tile,
-                                      sup, mode, fast)
-    return (out, trans, med), (attrs, bins, out, trans, attr16.shape[0])
+                                      sup, mode, fast, tile0)
+    return (out, trans, med), (attrs, bins, tile0, out, trans,
+                               attr16.shape[0])
 
 
 def _blend_g_bwd(ntx, nty, tile, sup, mode, fast, res, cotangents):
-    attrs, bins, out, trans, n = res
+    attrs, bins, tile0, out, trans, n = res
     g_out, g_trans, _ = cotangents    # median depth is forward-only
     # rho(p) = sum_c g_c O_c — free from the saved outputs
     rho = jnp.sum(g_out * out, axis=1, keepdims=True)     # (T, 1, P)
     dtable = _blend_bwd_call(attrs, bins.counts, g_out, g_trans, rho,
-                             trans, ntx, nty, tile, sup, mode, fast)
+                             trans, ntx, nty, tile, sup, mode, fast,
+                             tile0)
     d_attr16 = _unpack_grads(dtable, bins, n)
-    return (d_attr16, None)
+    return (d_attr16, None, None)
 
 
 _blend_gaussians.defvjp(_blend_g_fwd, _blend_g_bwd)
@@ -661,7 +685,8 @@ _blend_gaussians.defvjp(_blend_g_fwd, _blend_g_bwd)
 # Per-gaussian blend contributions (forward-only)
 # ---------------------------------------------------------------------------
 
-def _contrib_kernel(counts_ref, attrs_ref, contrib_ref, *, mode: str,
+def _contrib_kernel(tile0_ref, counts_ref, attrs_ref, contrib_ref, *,
+                    mode: str,
                     ntx: int, tile: int, kmax: int, sup: int, gtiles: int):
     """Per-slot summed blend weights (T, Kmax): the reference rasterizer's
     per-Gaussian ``contributions`` (gaussian_renderer/__init__.py:313-347,
@@ -671,7 +696,7 @@ def _contrib_kernel(counts_ref, attrs_ref, contrib_ref, *, mode: str,
     tri_s = _tri(True, sb)
     for g in range(gtiles):
         t = pl.program_id(0) * gtiles + g
-        px, py = _pixel_grid(t, ntx, tile)
+        px, py = _pixel_grid(t + tile0_ref[0], ntx, tile)
         cnt = counts_ref[t]
 
         def super_body(j, trans, g=g, px=px, py=py, cnt=cnt):
@@ -720,7 +745,9 @@ def blend_contributions(attr16: jnp.ndarray, bins: TileBins,
     ctab = pl.pallas_call(
         kern,
         grid=(T // G,),
-        in_specs=[pl.BlockSpec((T,), lambda t: (0,),
+        in_specs=[pl.BlockSpec((1,), lambda t: (0,),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((T,), lambda t: (0,),
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec((G, kmax, NCH), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -732,7 +759,7 @@ def blend_contributions(attr16: jnp.ndarray, bins: TileBins,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, kmax, 1), jnp.float32),
         interpret=INTERPRET,
-    )(bins.counts, attrs)
+    )(_t0_arr(None), bins.counts, attrs)
     idx = jnp.minimum(bins.gauss_tbl.reshape(-1), n - 1)
     flat = jnp.where(bins.mask.reshape(-1), ctab.reshape(-1), 0.0)
     return jnp.zeros((n,)).at[idx].add(flat)
@@ -809,9 +836,30 @@ def rasterize_pallas(
 
     ntx = (width + tile - 1) // tile
     nty = (height + tile - 1) // tile
-    out, trans, med = _blend_gaussians(attr16, bins, ntx, nty, tile,
+    out, trans, med = _blend_gaussians(attr16, bins, None, ntx, nty, tile,
                                        superblock, mode,
                                        precision == "fast")
+    rgb, depth, alpha, normal, depth_median = assemble_blend(
+        out, trans, med, bg, width, height, tile, mode, normalize_depth)
+    contrib = (blend_contributions(attr16, bins, width, height,
+                                   tile=tile, superblock=superblock,
+                                   mode=mode)
+               if with_contrib else jnp.zeros(means3d.shape[0]))
+    ret = RenderOutput(rgb=rgb, depth=depth, alpha=alpha, normal=normal,
+                       contrib=contrib, n_overflow=bins.n_overflow,
+                       depth_median=depth_median)
+    if return_bins:
+        return ret, bins, jax.lax.stop_gradient(bin_means_out)
+    return ret
+
+
+def assemble_blend(out, trans, med, bg, width, height, tile, mode,
+                   normalize_depth):
+    """(T, C, P) kernel outputs -> composited (rgb, depth, alpha, normal,
+    depth_median) images. Pure XLA (autodiffed); works on tile-sharded
+    inputs (the reshape/transpose is layout-local per tile row)."""
+    ntx = (width + tile - 1) // tile
+    nty = (height + tile - 1) // tile
 
     def untile(x):   # (T, C, P) -> (H, W, C)
         c = x.shape[1]
@@ -834,13 +882,43 @@ def rasterize_pallas(
         depth_median = None
     if normalize_depth:
         depth = depth / jnp.maximum(alpha, 0.05)  # see blend_tiles note
-    contrib = (blend_contributions(attr16, bins, width, height,
-                                   tile=tile, superblock=superblock,
-                                   mode=mode)
-               if with_contrib else jnp.zeros(means3d.shape[0]))
-    ret = RenderOutput(rgb=rgb, depth=depth, alpha=alpha, normal=normal,
-                       contrib=contrib, n_overflow=bins.n_overflow,
-                       depth_median=depth_median)
-    if return_bins:
-        return ret, bins, jax.lax.stop_gradient(bin_means_out)
-    return ret
+    return rgb, depth, alpha, normal, depth_median
+
+
+def blend_gaussians_tile_sharded(mesh, axis: str, attr16, bins: TileBins,
+                                 width: int, height: int, tile: int = 16,
+                                 superblock: int = SUPER,
+                                 mode: str = "3dgs", fast: bool = False):
+    """The Pallas blend with the TILE axis sharded over a device mesh
+    (VERDICT r3 item 5: the flagship kernel is what must scale).
+
+    Each device runs the fused kernel on its contiguous slice of tiles
+    (bins sharded on the leading tile axis, attr16 replicated); the
+    kernel receives the shard's global tile offset so pixel coordinates
+    stay global. Compositing is per-pixel so no cross-device blend pass
+    exists; the backward transposes the replicated attr16 input into a
+    psum of per-device gradients (shard_map AD).
+
+    Returns (out, trans, med) as global arrays sharded on the tile axis.
+    Requires T % mesh_size == 0.
+    """
+    nd = int(np.prod([mesh.shape[a] for a in (axis,)]))
+    T = bins.counts.shape[0]
+    assert T % nd == 0, f"tile count {T} must divide mesh size {nd}"
+    T_local = T // nd
+    ntx = (width + tile - 1) // tile
+    nty = (height + tile - 1) // tile
+    from jax.sharding import PartitionSpec as P_
+
+    def shard_fn(attr16_r, bins_l):
+        t0 = (jax.lax.axis_index(axis) * T_local).reshape(1)
+        return _blend_gaussians(attr16_r, bins_l, t0, ntx, nty, tile,
+                                superblock, mode, fast)
+
+    bins_spec = jax.tree.map(
+        lambda x: P_(axis) if (hasattr(x, "ndim") and x.ndim >= 1
+                               and x.shape[0] == T) else P_(), bins)
+    return jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(P_(), bins_spec),
+        out_specs=(P_(axis), P_(axis), P_(axis)),
+        check_vma=False)(attr16, bins)

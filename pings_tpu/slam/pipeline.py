@@ -108,7 +108,7 @@ class SlamSystem:
         if self._sdf is None:
             opt, params, state = sdf_mapper.init_sdf_train(
                 self.m, self.decoders, self.cfg)
-            step = sdf_mapper.make_sdf_step(self.cfg, opt)
+            step = sdf_mapper.make_sdf_scan_step(self.cfg, opt)
             self._sdf = [opt, params, state, step]
 
     def _ensure_gs(self, width: int, height: int):
@@ -488,14 +488,15 @@ class SlamSystem:
         opt, params, state, step = self._sdf
         do_sdf_only = (not cfg.gs_on) or fid == 0 or not pre.cams
         if do_sdf_only and iters > 0:
-            for _ in range(iters):
-                batch = rp.pool_batch(self.pool, self._next_key(), cfg.bs,
-                                      min(cfg.bs_new_sample, cfg.bs // 2))
-                params, state, met = step(params, state, batch, self.m,
-                                          self.decoders, freeze)
+            # the whole frame's SDF loop is ONE dispatch (batches drawn
+            # inside the scan from the device-side replay pool)
+            params, state, mets = step(params, state, self.pool,
+                                       self._next_key(), self.m,
+                                       self.decoders, freeze,
+                                       iters=int(iters))
             self._sdf[1], self._sdf[2] = params, state
             self._apply_sdf_params()
-            rep.metrics["sdf_bce"] = float(met.bce)
+            rep.metrics["sdf_bce"] = float(mets.bce[-1])
 
         if cfg.gs_on and pre.cams:
             self._train_gs(pre, fid, rep, freeze)
@@ -599,6 +600,10 @@ class SlamSystem:
         mets_pending = []
         dw_const = {1.0: jnp.float32(1.0), 4.0: jnp.float32(4.0)}
         slot_const = {}
+        # one key split for the whole loop; per-iteration batches are
+        # drawn inside the jitted step (draw_batch) — a GS iteration is
+        # one dispatch over the TPU tunnel, not three
+        bkeys = jax.random.split(self._next_key(), gs_iters)
         for it in range(gs_iters):
             pc = self.campool.sample()
             if pc is None:
@@ -614,8 +619,6 @@ class SlamSystem:
             if it == 0:
                 self._sync_params_from_map()
             opt, params, state, steps = self._gs
-            batch = rp.pool_batch(self.pool, self._next_key(), cfg.bs,
-                                  min(cfg.bs_new_sample, cfg.bs // 2))
             ckey = (pc.slot, level)
             ent = bins_cache.get(ckey)
             use_bins = (ent is not None
@@ -624,12 +627,12 @@ class SlamSystem:
                 params, state, self.m, self.decoders, local_idx,
                 cam,
                 slot_const.setdefault(pc.slot, jnp.int32(pc.slot)),
-                batch, freeze,
+                (self.pool, bkeys[it]), freeze,
                 surrounding=surrounding, depth_w=dw_const[depth_w],
                 bins=ent["bins"] if use_bins else None,
                 bin_means=ent["means"] if use_bins else None,
                 cached_contrib=ent["contrib"] if use_bins else None,
-                use_bins=use_bins)
+                use_bins=use_bins, draw_batch=True)
             self._gs[1], self._gs[2] = params, state
             # no host syncs on the critical path: the drift-triggered
             # rebin happens inside the jit (lax.cond); the cache entry is
@@ -642,7 +645,9 @@ class SlamSystem:
                 bins_cache[ckey] = {"bins": bins_out, "means": means2d,
                                     "contrib": contrib, "uses": 1}
             mets_pending.append(met)
-        n_nonfinite = int(sum(float(m.nonfinite) for m in mets_pending))
+        # one host sync for the loop's failure counter (not 1 per iter)
+        n_nonfinite = int(jax.device_get(
+            sum(m.nonfinite for m in mets_pending))) if mets_pending else 0
         if met is not None:
             self._apply_gs_params()
             rep.metrics["gs_psnr"] = float(met.psnr)

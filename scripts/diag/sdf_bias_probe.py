@@ -25,14 +25,20 @@ from pings_tpu.utils import pose as hp
 N_FRAMES = int(os.environ.get("N_FRAMES", "20"))
 GS = os.environ.get("GS", "1") == "1"
 
-cfg = Config.load("configs/kitti_synth.yaml",
-                  dict(track_on=False, gs_on=GS, pgo_on=False))
+overrides = dict(track_on=False, gs_on=GS, pgo_on=False)
+if os.environ.get("FREE_BEHIND") is not None:
+    overrides["free_behind_n"] = int(os.environ["FREE_BEHIND"])
+if os.environ.get("SSR") is not None:
+    overrides["surface_sample_range_m"] = float(os.environ["SSR"])
+cfg = Config.load("configs/kitti_synth.yaml", overrides)
 ds = dataset_factory("kitti", "data_validation/kitti_synth", "00", cfg)
 system = SlamSystem(cfg)
 t0 = time.time()
 for i in range(N_FRAMES):
+    tf = time.time()
     rep = system.process_frame(ds[i])
-    print(f"frame {i} pts={rep.n_points} "
+    stages = " ".join(f"{k}:{v:.2f}" for k, v in rep.timings.items())
+    print(f"frame {i} [{time.time()-tf:.1f}s {stages}] pts={rep.n_points} "
           + " ".join(f"{k}={v:.3f}" for k, v in rep.metrics.items()),
           flush=True)
 print(f"trained {N_FRAMES} frames in {time.time()-t0:.0f}s", flush=True)

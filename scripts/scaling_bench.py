@@ -142,6 +142,7 @@ def main():
                      jnp.ones(cfg.bs, bool))
         step = make_dp_train_step(cfg, opt, mesh, W, H,
                                   cfg.max_local_points)
+        cam_slots = jnp.arange(nd, dtype=jnp.int32) % exposure.a.shape[0]
 
         def run_step():
             # copy: the step donates params/state and gs_params aliases
@@ -151,7 +152,7 @@ def main():
             state = opt.init(params)
             with mesh:
                 return step(params, state, m, decoders, local_idx, cams,
-                            sdf_batch)[2]
+                            cam_slots, sdf_batch, jnp.asarray(False))[2]
 
         # time only repeated steps with pre-built params (donation-safe:
         # rebuild params per call is host-cheap, jit reuses the executable)

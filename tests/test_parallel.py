@@ -127,10 +127,12 @@ def _run_dp(world, n_devices, n_cams=8):
         jnp.zeros(cfg.bs), jnp.zeros((cfg.bs, 3)), jnp.ones(cfg.bs),
         jnp.ones(cfg.bs, bool))
     step = make_dp_train_step(cfg, opt, mesh, W, H, cfg.max_local_points)
+    cam_slots = jnp.arange(n_cams, dtype=jnp.int32) % exposure.a.shape[0]
     with mesh:
-        params, state, psnr = step(params, state, m, decoders, local_idx,
-                                   cams, sdf_batch)
-    return jax.tree.map(np.asarray, params), float(psnr)
+        params, state, mets = step(params, state, m, decoders, local_idx,
+                                   cams, cam_slots, sdf_batch,
+                                   jnp.asarray(False))
+    return jax.tree.map(np.asarray, params), float(mets.psnr)
 
 
 @pytest.mark.slow
