@@ -247,8 +247,10 @@ def write_results(run_dir, cfg, system, ds, reports, gt, wall) -> dict:
                 if i < len(gt)][: len(system.poses)]
         if len(used) == len(system.poses) and len(used) >= 3:
             ate = absolute_error(system.poses, used)
+            # small segments for short sequences + the KITTI-standard
+            # 100/200 m; relative_error averages over reachable ones
             rel = relative_error(system.poses, used,
-                                 segment_lengths=(10, 20, 40),
+                                 segment_lengths=(10, 20, 40, 100, 200),
                                  step=2)
             results.update(ate)
             results.update(rel)

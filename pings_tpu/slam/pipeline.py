@@ -523,8 +523,12 @@ class SlamSystem:
                   freeze):
         cfg = self.cfg
         T = self.poses[-1]
-        # register keyframes
-        if fid % max(cfg.gs_keyframe_interval, 1) == 0:
+        # register keyframes; held-out eval frames never become keyframes
+        # (reference train_view=False cameras stay out of GS training,
+        # utils/mapper.py:669)
+        held_out = (cfg.gs_eval_hold_out_every > 0
+                    and fid % cfg.gs_eval_hold_out_every == 0)
+        if fid % max(cfg.gs_keyframe_interval, 1) == 0 and not held_out:
             for cam_name, cd in pre.cams.items():
                 img = np.asarray(cd["img"], np.float32) / 255.0
                 h, w = img.shape[:2]

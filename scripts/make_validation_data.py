@@ -151,13 +151,96 @@ def street_world(length_m: float = 50.0, seed: int = 3):
     return objs
 
 
-def make_kitti(out_dir: str, n_frames: int):
+def circuit_path(n_frames: int, step: float = 1.2, A: float = 80.0,
+                 R: float = 15.0):
+    """Closed stadium circuit (two straights of length A joined by
+    semicircular turns of radius R): total length 2A + 2*pi*R (~254 m
+    with the defaults). Returns (positions (N, 2), yaws (N,)). Driving
+    past one full lap revisits the start — exercising loop closure
+    end-to-end and making the 100/200 m KITTI ARTE segments reachable
+    (VERDICT r3 items 6 and 1)."""
+    total = 2.0 * A + 2.0 * np.pi * R
+    s = (np.arange(n_frames) * step) % total
+    pos = np.zeros((n_frames, 2))
+    yaw = np.zeros(n_frames)
+    for i, si in enumerate(s):
+        if si < A:                                   # straight +x at y=0
+            pos[i] = [si, 0.0]
+            yaw[i] = 0.0
+        elif si < A + np.pi * R:                     # left turn at x=A
+            a = (si - A) / R
+            pos[i] = [A + R * np.sin(a), R - R * np.cos(a)]
+            yaw[i] = a
+        elif si < 2 * A + np.pi * R:                 # straight -x at y=2R
+            pos[i] = [A - (si - A - np.pi * R), 2 * R]
+            yaw[i] = np.pi
+        else:                                        # left turn at x=0
+            a = (si - 2 * A - np.pi * R) / R
+            pos[i] = [-R * np.sin(a), R + R * np.cos(a)]
+            yaw[i] = np.pi + a
+    return pos, yaw
+
+
+def circuit_world(A: float = 80.0, R: float = 15.0, seed: int = 4):
+    """Buildings (AABBs) + spheres scattered along BOTH sides of the
+    stadium circuit, corridor (path +-5.5 m) kept clear; ground plane."""
+    rng = np.random.default_rng(seed)
+    objs = [{"kind": "plane", "z": 0.0,
+             "color1": np.array([0.55, 0.5, 0.45], np.float32),
+             "color2": np.array([0.35, 0.35, 0.4], np.float32)}]
+    # dense sampling along the path; boxes at lateral offsets both sides
+    total = 2.0 * A + 2.0 * np.pi * R
+    s = 0.0
+    while s < total:
+        p, y = _circuit_point(s, A, R)
+        n_hat = np.array([-np.sin(y), np.cos(y)])     # left normal
+        for side in (-1.0, 1.0):
+            if rng.random() < 0.92:
+                d = rng.uniform(7.5, 12.0)
+                c = p + side * d * n_hat
+                hw = rng.uniform(0.8, 2.0)
+                hd = rng.uniform(0.8, 2.0)
+                h = rng.uniform(2.0, 5.5)
+                objs.append({
+                    "kind": "box",
+                    "min": np.array([c[0] - hw, c[1] - hd, 0.0]),
+                    "max": np.array([c[0] + hw, c[1] + hd, h]),
+                    "color": rng.uniform(0.2, 0.85, 3).astype(np.float32),
+                })
+        if rng.random() < 0.35:
+            side = float(rng.choice([-1.0, 1.0]))
+            c = p + side * rng.uniform(6.0, 8.0) * n_hat
+            objs.append({
+                "kind": "sphere",
+                "center": np.array([c[0], c[1], 0.8]),
+                "radius": rng.uniform(0.5, 1.1),
+                "tint": float(rng.choice([-1.0, 1.0]))})
+        s += rng.uniform(4.0, 6.5)
+    return objs
+
+
+def _circuit_point(s: float, A: float, R: float):
+    """(x, y), yaw at arc length s of the stadium circuit."""
+    total = 2.0 * A + 2.0 * np.pi * R
+    s = s % total
+    if s < A:
+        return np.array([s, 0.0]), 0.0
+    if s < A + np.pi * R:
+        a = (s - A) / R
+        return np.array([A + R * np.sin(a), R - R * np.cos(a)]), a
+    if s < 2 * A + np.pi * R:
+        return np.array([A - (s - A - np.pi * R), 2 * R]), np.pi
+    a = (s - 2 * A - np.pi * R) / R
+    return np.array([-R * np.sin(a), R + R * np.cos(a)]), np.pi + a
+
+
+def make_kitti(out_dir: str, n_frames: int, step_m: float = 1.2):
     import cv2
 
     seq = os.path.join(out_dir, "kitti_synth", "00")
     os.makedirs(os.path.join(seq, "velodyne"), exist_ok=True)
     os.makedirs(os.path.join(seq, "image_2"), exist_ok=True)
-    objects = street_world(length_m=n_frames * 0.45 + 12.0)
+    objects = circuit_world()
     rng = np.random.default_rng(0)
 
     # body/lidar frame: x forward, z up. cam2: x right, y down, z forward.
@@ -167,14 +250,15 @@ def make_kitti(out_dir: str, n_frames: int):
     K = np.array([[420.0, 0, 320.0], [0, 420.0, 120.0], [0, 0, 1.0]])
     W, H = 640, 240
 
-    # gently curving forward trajectory
+    # closed circuit; a full lap is ~254/step frames, beyond that the
+    # trajectory revisits the start (loop closure)
+    pos2d, yaws = circuit_path(n_frames, step=step_m)
     poses = []
-    T = np.eye(4)
-    T[:3, 3] = [0, 0, 1.6]
     for i in range(n_frames):
-        poses.append(T.copy())
-        dyaw = 0.012 * np.sin(i / 18.0)
-        T = T @ hp.se3_exp(np.array([0.45, 0, 0, 0, 0, dyaw]))
+        T = np.eye(4)
+        T[:3, :3] = hp.so3_exp(np.array([0, 0, yaws[i]]))
+        T[:3, 3] = [pos2d[i, 0], pos2d[i, 1], 1.6]
+        poses.append(T)
 
     el = np.radians(np.linspace(-24.8, 2.0, 64))
     az = np.linspace(-np.pi, np.pi, 1024, endpoint=False)

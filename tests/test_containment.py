@@ -129,13 +129,20 @@ class TestKittiConvention:
     cam0-frame poses.txt + calib Tr it wrote."""
 
     def _expected_lidar_poses(self, n):
-        # mirror of scripts/make_validation_data.py make_kitti's trajectory
-        poses, T = [], np.eye(4)
-        T[:3, 3] = [0, 0, 1.6]
+        # mirror of scripts/make_validation_data.py make_kitti's circuit
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "mvd", os.path.join(os.path.dirname(__file__), "..",
+                                "scripts", "make_validation_data.py"))
+        mvd = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mvd)
+        pos2d, yaws = mvd.circuit_path(n, step=1.2)
+        poses = []
         for i in range(n):
-            poses.append(T.copy())
-            dyaw = 0.012 * np.sin(i / 18.0)
-            T = T @ hp.se3_exp(np.array([0.45, 0, 0, 0, 0, dyaw]))
+            T = np.eye(4)
+            T[:3, :3] = hp.so3_exp(np.array([0, 0, yaws[i]]))
+            T[:3, 3] = [pos2d[i, 0], pos2d[i, 1], 1.6]
+            poses.append(T)
         return poses
 
     def test_gt_roundtrip_ate_zero(self):
