@@ -97,6 +97,21 @@ def run(args) -> dict:
     os.makedirs(run_dir, exist_ok=True)
     cfg.run_path = run_dir
     cfg.dump(os.path.join(run_dir, "config_all.yaml"))
+    # repro record (reference writes run.sh with the git hash,
+    # tools.py:100-124)
+    try:
+        import subprocess
+        import sys as _sys
+        git = subprocess.run(["git", "rev-parse", "HEAD"],
+                             capture_output=True, text=True, timeout=5,
+                             cwd=os.path.dirname(os.path.dirname(
+                                 os.path.abspath(__file__))))
+        with open(os.path.join(run_dir, "run_info.json"), "w") as f:
+            json.dump({"git_hash": git.stdout.strip(),
+                       "argv": _sys.argv,
+                       "started": stamp}, f, indent=2)
+    except Exception:
+        pass
 
     system = SlamSystem(cfg)
     gt = ds.gt_poses()
@@ -218,6 +233,8 @@ def write_results(run_dir, cfg, system, ds, reports, gt, wall) -> dict:
                "sec_per_frame": wall / max(len(reports), 1),
                "map_points": int(system.m.count),
                "loops": system.n_loops,
+               "travel_m": round(system.travel[-1], 2) if system.travel
+               else 0.0,
                "aborted": bool(system.aborted),
                "abort_reason": system.abort_reason}
     # per-stage runtime budget (mean sec/frame per stage; the reference

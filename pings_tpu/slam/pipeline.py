@@ -334,6 +334,24 @@ class SlamSystem:
             self.m = npm.recreate_hash(self.m)
             return False
         T_loop = res.T_w_l  # corrected world pose of the current frame
+        # drift-consistency gate: the loop's implied pose correction must
+        # be explainable by odometry drift (1%/m of travel since the last
+        # loop + a floor). Scan-context matching in self-similar corridors
+        # can hallucinate a loop whose scan-to-map verification ALSO
+        # converges (registration against repetitive geometry) — measured
+        # in the first circuit run: a false loop at ~frame 120 claimed a
+        # 30 m correction after 125 m of travel (24% "drift"), passed the
+        # PGO residual test, and warped both the graph and the re-posed
+        # map beyond recovery. Reference counterpart: drift-radius gating
+        # of loop candidates (loop_detector.py:404-440, pgo drift model
+        # pgo.py:321-336).
+        corr_tr = float(np.linalg.norm(T_loop[:3, 3] - self.poses[-1][:3, 3]))
+        corr_rot = hp.rotation_angle_deg(
+            self.poses[-1][:3, :3].T @ T_loop[:3, :3])
+        drift_bound = max(2.0, 3.0 * drift)
+        if corr_tr > drift_bound or corr_rot > 20.0:
+            self.m = npm.recreate_hash(self.m)
+            return False
         T_i_j = hp.se3_inv(self.poses[cand_fid]) @ T_loop
         old_poses = [p.copy() for p in self.pgo.poses]
         if not self.pgo.try_loop_closure(cand_fid, fid, T_i_j):

@@ -152,15 +152,27 @@ def street_world(length_m: float = 50.0, seed: int = 3):
 
 
 def circuit_path(n_frames: int, step: float = 1.2, A: float = 80.0,
-                 R: float = 15.0):
+                 R: float = 15.0, ramp_frames: int = 30):
     """Closed stadium circuit (two straights of length A joined by
     semicircular turns of radius R): total length 2A + 2*pi*R (~254 m
     with the defaults). Returns (positions (N, 2), yaws (N,)). Driving
     past one full lap revisits the start — exercising loop closure
     end-to-end and making the 100/200 m KITTI ARTE segments reachable
-    (VERDICT r3 items 6 and 1)."""
+    (VERDICT r3 items 6 and 1).
+
+    The vehicle accelerates from rest over ``ramp_frames`` (real KITTI
+    sequences start from rest too). This is load-bearing, not cosmetic:
+    jumping to full speed at frame 1 puts the whole scan ~1.2 m from the
+    frame-0 map — outside the neural-point query radius — so the
+    informative (travel-facing) points are invisible to registration,
+    ground/walls are shift-invariant along the corridor, and "stationary"
+    becomes a self-consistent local minimum the constant-velocity model
+    then locks in (measured: the first circuit run tracked res=0.04,
+    ratio=0.89 while never moving)."""
     total = 2.0 * A + 2.0 * np.pi * R
-    s = (np.arange(n_frames) * step) % total
+    speed = step * np.minimum(
+        1.0, np.arange(n_frames) / max(ramp_frames, 1))
+    s = np.concatenate([[0.0], np.cumsum(speed)[:-1]]) % total
     pos = np.zeros((n_frames, 2))
     yaw = np.zeros(n_frames)
     for i, si in enumerate(s):

@@ -67,10 +67,11 @@ def main():
     ap.add_argument("--out-dir", default=os.path.join(REPO, "runs_validation"))
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--frames-replica", type=int, default=60)
-    # one full lap of the ~254 m circuit at 1.2 m/frame is ~212 frames;
-    # 240 revisits the start so loop closure fires and ARTE segments
-    # (100/200 m) are reachable
-    ap.add_argument("--frames-kitti", type=int, default=240)
+    # one full lap of the ~254 m circuit at 1.2 m/frame is ~212 frames
+    # (+15 for the from-rest acceleration ramp); 250 revisits the start
+    # by ~25 m so loop closure fires and ARTE segments (100/200 m) are
+    # reachable
+    ap.add_argument("--frames-kitti", type=int, default=250)
     ap.add_argument("--only", choices=("replica", "kitti"), default=None)
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
