@@ -199,6 +199,17 @@ def main():
 
     mpix_s = _train_loop_mpix_s(scene, T, K)
     mpix_rebin1 = _train_loop_mpix_s(scene, T, K, rebin_every=1)
+    # turbo point of the measured quality/throughput curve: Kmax=64
+    # halves the per-tile table and its row-indexed pack/scatter (the
+    # measured per-row floor is address-independent —
+    # scripts/diag/masked_row_cost.py), at a truncation cost of
+    # mean |rgb| err 0.0038 / p99 0.037 vs a Kmax=512 reference on this
+    # hostile scene (scripts/diag/kmax_sweep.py). The headline stays the
+    # shipping quality point (Kmax=128, mean err 4e-4).
+    global MAX_PER_TILE, SUPERBLOCK
+    MAX_PER_TILE, SUPERBLOCK = 64, 64
+    mpix_turbo = _train_loop_mpix_s(scene, T, K)
+    MAX_PER_TILE, SUPERBLOCK = 128, 128
     # surfel: same scene flattened to discs (the reference default mode)
     scales_flat = scene[2].at[:, 2].set(1e-7)
     scene_s = scene[:2] + (scales_flat,) + scene[3:]
@@ -216,6 +227,7 @@ def main():
         "vs_baseline": round(mpix_s / A100_BASELINE_MPIX_S, 3),
         "rebin_every": REBIN_EVERY,
         "mpix_s_rebin1": round(mpix_rebin1, 2),
+        "turbo_kmax64_mpix_s": round(mpix_turbo, 2),
         "surfel_mpix_s": round(mpix_surfel, 2),
         "typical_scene_mpix_s": round(mpix_typical, 2),
         "stages_ms": stage_breakdown(scene, T, K),

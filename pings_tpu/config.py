@@ -159,6 +159,13 @@ class Config:
     pgo_tran_std: float = 0.04
     pgo_rot_std: float = 0.01
     pgo_error_thre_frame: float = 0.5
+    # cooldown: frames after a successful loop before detecting again
+    # (reference pgo_freq, utils/config.py:355 + pings.py:564) — without
+    # it a revisit segment fires a loop EVERY frame (27 in the first
+    # completed circuit run), each re-optimizing the graph and re-posing
+    # the map, and the repeated snapping made SLAM ATE 4x worse than
+    # odometry-only
+    pgo_freq_frame: int = 30
     use_reg_cov_mat: bool = False
     pgo_max_iter: int = 50
 

@@ -30,8 +30,17 @@ def _ray_scene(origins: np.ndarray, dirs: np.ndarray, objects):
                 t = (h - origins[:, 2]) / dz
             ok = (np.abs(dz) > 1e-6) & (t > 0.05)
             p = origins + dirs * t[:, None]
-            checker = ((np.floor(p[:, 0]) + np.floor(p[:, 1])) % 2).astype(bool)
-            c = np.where(checker[:, None], obj["color1"], obj["color2"])
+            if obj.get("texture") == "smooth":
+                # natural-image-like low-frequency texture (for the SSIM
+                # texture-statistics experiment, RESULTS.md): smooth color
+                # field instead of hard 1 m checker step edges
+                s = 0.5 + 0.5 * np.sin(0.9 * p[:, 0]) * np.sin(1.3 * p[:, 1])
+                c = (obj["color1"] * s[:, None]
+                     + obj["color2"] * (1.0 - s[:, None]))
+            else:
+                checker = ((np.floor(p[:, 0]) + np.floor(p[:, 1]))
+                           % 2).astype(bool)
+                c = np.where(checker[:, None], obj["color1"], obj["color2"])
         elif kind == "sphere":
             oc = origins - obj["center"]
             b = np.sum(dirs * oc, axis=1)
@@ -68,9 +77,15 @@ def _ray_scene(origins: np.ndarray, dirs: np.ndarray, objects):
             ok = tmax > 0.05
             t = tmax
             p = origins + dirs * t[:, None]
-            checker = ((np.floor(p[:, 0]) + np.floor(p[:, 1])
-                        + np.floor(p[:, 2])) % 2).astype(bool)
-            c = np.where(checker[:, None], obj["color1"], obj["color2"])
+            if obj.get("texture") == "smooth":
+                s = (0.5 + 0.5 * np.sin(0.8 * p[:, 0])
+                     * np.sin(1.1 * p[:, 1]) * np.cos(0.7 * p[:, 2]))
+                c = (obj["color1"] * s[:, None]
+                     + obj["color2"] * (1.0 - s[:, None]))
+            else:
+                checker = ((np.floor(p[:, 0]) + np.floor(p[:, 1])
+                            + np.floor(p[:, 2])) % 2).astype(bool)
+                c = np.where(checker[:, None], obj["color1"], obj["color2"])
             # tint each wall pair differently so the room is not ambiguous
             axis = np.argmin(np.stack([
                 np.minimum(np.abs(p[:, i] - lo[0, i]),

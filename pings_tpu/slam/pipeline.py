@@ -87,6 +87,7 @@ class SlamSystem:
         self.aborted = False
         self.abort_reason = ""
         self.n_loops = 0
+        self._last_loop_fid = -(10 ** 9)
         # robot-stop detection (reference slam_dataset.py:709-721)
         self.stop_count = 0
         self.stop_status = False
@@ -241,9 +242,16 @@ class SlamSystem:
                 if cfg.loop_with_feature else None
             if fid % max(cfg.local_map_context_latency, 1) == 0:
                 self.sc.add_node(fid, src_np, feats=src_feats)
-            if fid > 10 and rep.tracking_valid:
+            # cooldown after a successful loop (reference pgo_freq,
+            # pings.py:564): a revisit segment would otherwise close a
+            # loop every frame, re-optimizing the graph + re-posing the
+            # map dozens of times
+            cooled = fid - self._last_loop_fid > cfg.pgo_freq_frame
+            if fid > 10 and rep.tracking_valid and cooled:
                 rep.loop_closed = self._try_loops(pre, fid, src_np,
                                                   src_feats)
+                if rep.loop_closed:
+                    self._last_loop_fid = fid
         rep.timings["loop"] = time.time() - t2
 
         # ---------- IV. map update + SDF supervision ----------

@@ -34,14 +34,16 @@ from pings_tpu.data.synthetic import _ray_scene, default_world  # noqa: E402
 from pings_tpu.utils import pose as hp  # noqa: E402
 
 
-def room_world():
+def room_world(texture: str = "checker"):
     """Indoor world: a 10x8x3 m room shell with furniture-scale boxes
-    and spheres."""
+    and spheres. texture="smooth" replaces the hard 1 m checkers with
+    low-frequency color fields (the SSIM texture-statistics experiment)."""
     return [
         {"kind": "box_inner", "min": np.array([-5.0, -4.0, 0.0]),
          "max": np.array([5.0, 4.0, 3.0]),
          "color1": np.array([0.75, 0.72, 0.65], np.float32),
-         "color2": np.array([0.45, 0.47, 0.52], np.float32)},
+         "color2": np.array([0.45, 0.47, 0.52], np.float32),
+         "texture": texture},
         {"kind": "box", "min": np.array([1.5, -3.2, 0.0]),
          "max": np.array([3.5, -1.8, 0.9]),
          "color": np.array([0.6, 0.3, 0.2], np.float32)},
@@ -77,13 +79,15 @@ def render_pinhole(T_w_c, K, width, height, objects):
     return img, depth
 
 
-def make_replica(out_dir: str, n_frames: int):
+def make_replica(out_dir: str, n_frames: int, texture: str = "checker"):
     import cv2
 
-    seq = os.path.join(out_dir, "replica_synth", "room_synth")
+    name = ("replica_synth" if texture == "checker"
+            else f"replica_synth_{texture}")
+    seq = os.path.join(out_dir, name, "room_synth")
     res = os.path.join(seq, "results")
     os.makedirs(res, exist_ok=True)
-    objects = room_world()
+    objects = room_world(texture)
     K = np.array([[600.0, 0, 599.5], [0, 600.0, 339.5], [0, 0, 1]])
     W, H = 1200, 680
     poses = []
@@ -317,11 +321,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("out_dir", nargs="?", default="data_validation")
     ap.add_argument("--frames-replica", type=int, default=60)
-    ap.add_argument("--frames-kitti", type=int, default=80)
+    ap.add_argument("--frames-kitti", type=int, default=250)
     ap.add_argument("--only", choices=("replica", "kitti"), default=None)
+    ap.add_argument("--texture", choices=("checker", "smooth"),
+                    default="checker",
+                    help="replica room texture (smooth = the SSIM "
+                         "texture-statistics experiment variant)")
     args = ap.parse_args()
     if args.only in (None, "replica"):
-        make_replica(args.out_dir, args.frames_replica)
+        make_replica(args.out_dir, args.frames_replica, args.texture)
     if args.only in (None, "kitti"):
         make_kitti(args.out_dir, args.frames_kitti)
 

@@ -119,9 +119,13 @@ def main():
             "sec_per_frame": round(summ["sec_per_frame"], 2),
             "wall_s": round(wall, 1),
             "map_points": summ["map_points"],
+            "loops": summ.get("loops"),
+            "travel_m": summ.get("travel_m"),
+            "aborted": summ.get("aborted"),
             "ate_trans_rmse_m": round(summ["ate_trans_rmse_m"], 4),
             "ate_rot_rmse_deg": round(summ["ate_rot_rmse_deg"], 3),
             "arte_trans_pct": summ.get("arte_trans_pct"),
+            "arte_rot_deg_per_100m": summ.get("arte_rot_deg_per_100m"),
             "gs_psnr_online": summ.get("gs_psnr"),
             "run_dir": rd,
         }

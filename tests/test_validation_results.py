@@ -48,9 +48,29 @@ def test_replica_runtime_recorded():
 
 
 def test_kitti_slam_quality():
+    """Full SLAM (tracker + loop closure + PGO) on the ~280 m closed
+    circuit must COMPLETE with a bounded trajectory. Floors sit under
+    the recorded round-4 numbers (ATE 1.70 m / 3.8 deg, ARTE 3.5%,
+    27 loops, odom-only ATE 0.39 m — RESULTS.md)."""
     r = _load().get("kitti_synth")
     assert r is not None, "kitti_synth missing from results"
-    assert r["frames"] >= 60
-    # full-SLAM trajectory accuracy on the ~36 m synthetic sequence
+    assert r["frames"] >= 240
+    assert not r.get("aborted", False), r
+    assert r.get("travel_m", 0) > 250.0, r          # it actually drove
+    assert r.get("loops", 0) >= 1, r                # loop closure fired
+    assert r["ate_trans_rmse_m"] < 3.0, r
+    assert r["ate_rot_rmse_deg"] < 8.0, r
+    import math
+    assert math.isfinite(r["arte_trans_pct"]), r    # 100/200 m segments
+    assert r["arte_trans_pct"] < 6.0, r
+
+
+def test_kitti_odometry_quality():
+    """Pure odometry drift on the same run (decoded from
+    odom_poses_kitti.txt): the SDF registration itself must stay sharp
+    (round-4: ATE 0.39 m over 280 m, ARTE 0.79%)."""
+    r = _load().get("kitti_synth", {}).get("odom_only")
+    if r is None:
+        pytest.skip("odom_only not recorded")
     assert r["ate_trans_rmse_m"] < 1.0, r
-    assert r["ate_rot_rmse_deg"] < 5.0, r
+    assert r["arte_trans_pct"] < 2.0, r
