@@ -30,6 +30,10 @@ def _load():
 
 
 def test_replica_mapping_quality():
+    """Floors under the recorded round-4 numbers (true held-out PSNR
+    22.30 / SSIM 0.546 / depth-L1 0.119 on the checker room). The SSIM
+    level is texture-statistics-bound, demonstrated by the smooth-texture
+    experiment gated below (RESULTS.md)."""
     r = _load().get("replica_synth")
     assert r is not None, "replica_synth missing from results"
     ev = r["gs_eval"]
@@ -38,6 +42,20 @@ def test_replica_mapping_quality():
     assert ev["test"]["depth_l1"] < 0.3, ev       # meters
     assert ev["test"]["ssim"] > 0.45, ev
     assert r["frames"] >= 60
+
+
+def test_replica_smooth_texture_quality():
+    """The same pipeline on natural-statistics (smooth) textures must hit
+    the reference's real-data SSIM band and beyond (round-4 recorded:
+    held-out PSNR 30.06 / SSIM 0.956; reference band 0.76-0.82,
+    paper.md:284-310)."""
+    r = _load().get("replica_synth_smooth")
+    if r is None:
+        pytest.skip("smooth-texture experiment not recorded")
+    ev = r["gs_eval"]
+    assert ev["test"]["psnr"] > 27.0, ev
+    assert ev["test"]["ssim"] > 0.90, ev
+    assert ev["test"]["depth_l1"] < 0.3, ev
 
 
 def test_replica_runtime_recorded():
