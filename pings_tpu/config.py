@@ -115,6 +115,13 @@ class Config:
     weight_e: float = 0.5
     numerical_grad: bool = True
     gradient_decimation: int = 10
+    # incidence-angle down-weighting of projective SDF labels
+    # (losses.incidence_weights; the reference's data_sampler.py:157
+    # TODO): weight = floor + (1-floor)*|cos(field grad, ray)|. Costs a
+    # full-batch FD gradient per step (cheap with the shared neighbor
+    # table); validated by the sdf_bias_probe before enabling by default
+    incidence_weight_on: bool = False
+    incidence_weight_floor: float = 0.1
     num_grad_step_ratio: float = 0.2
     consistency_loss_on: bool = False
     weight_c: float = 0.5

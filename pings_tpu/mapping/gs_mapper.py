@@ -351,15 +351,28 @@ def make_sdf_batch_terms(cfg):
     grad_delta = cfg.voxel_size_m * cfg.num_grad_step_ratio
     eik_n = max(cfg.bs // max(cfg.gradient_decimation, 1), 8)
 
+    incidence_on = cfg.incidence_weight_on
+    incidence_floor = cfg.incidence_weight_floor
+
     def batch_terms(m, d, sdf_batch, kidx_b):
         pts_b, sdf_lab, col_lab, w_b, valid_b = sdf_batch[:5]
+        ray = sdf_batch[6] if len(sdf_batch) > 6 else None
         q_b = npm.eval_neighbors(m, pts_b, kidx_b, stencil_r, alpha_s)
         sdf_p, _, qv = field.sdf_from_query(d, q_b, sigma_scale)
         vb = (valid_b & qv).astype(jnp.float32)
+        if incidence_on and ray is not None:
+            g_all = field.sdf_grad_numerical_nn(
+                m, d, pts_b, kidx_b, sigma_scale, grad_delta, stencil_r,
+                alpha_s)
+            w_b = w_b * jax.lax.stop_gradient(losses.incidence_weights(
+                g_all, ray, incidence_floor))
+            gb = g_all[:eik_n]
+        else:
+            gb = field.sdf_grad_numerical_nn(m, d, pts_b[:eik_n],
+                                             kidx_b[:eik_n], sigma_scale,
+                                             grad_delta, stencil_r,
+                                             alpha_s)
         bce = losses.sdf_bce_loss(sdf_p, sdf_lab, w_b, sigma, vb)
-        gb = field.sdf_grad_numerical_nn(m, d, pts_b[:eik_n],
-                                         kidx_b[:eik_n], sigma_scale,
-                                         grad_delta, stencil_r, alpha_s)
         eik = losses.eikonal_loss(gb, vb[:eik_n])
         return bce, eik
 

@@ -159,3 +159,27 @@ def tukey_loss(pred: jnp.ndarray, gt: jnp.ndarray,
         return jnp.mean(jnp.abs(r))
     inlier = (c * c / 6.0) * (1.0 - (1.0 - (r / c) ** 2) ** 3)
     return jnp.mean(jnp.where(jnp.abs(r) <= c, inlier, c * c / 6.0))
+
+
+def incidence_weights(grad: jnp.ndarray, ray: jnp.ndarray,
+                      floor: float = 0.1) -> jnp.ndarray:
+    """Incidence-angle sample weights for projective SDF labels.
+
+    Projective (along-ray) distance labels overestimate the true signed
+    distance by 1/|cos| of the incidence angle between the ray and the
+    surface normal; at grazing incidence (LiDAR ground returns) the
+    mislabeled supervision biases the learned zero level set toward the
+    sensor — measured at ~1-2 cm on the street-scale validation world
+    and the dominant source of the tracker's per-frame (-2 cm x, +2 cm z)
+    registration bias (RESULTS.md postmortem). The reference left this
+    as a TODO (data_sampler.py:157 'add lower weight for surface samples
+    with large incidence angle').
+
+    grad: (N, 3) field gradient at the samples (FD or analytical —
+    its direction estimates the surface normal); ray: (N, 3) unit
+    sensor->sample directions. Returns (N,) weights in [floor, 1]:
+    floor + (1 - floor) * |cos(grad, ray)|."""
+    gn = grad / jnp.sqrt(
+        jnp.sum(grad * grad, axis=-1, keepdims=True) + 1e-12)
+    cos = jnp.abs(jnp.sum(gn * ray, axis=-1))
+    return floor + (1.0 - floor) * cos

@@ -31,6 +31,7 @@ class ReplayPool:
     color_label: jnp.ndarray  # (P, 3)
     sem_label: jnp.ndarray    # (P,) i32; -1 = unlabeled
     weight: jnp.ndarray       # (P,)
+    ray: jnp.ndarray          # (P, 3) unit sensor->sample ray direction
     is_free: jnp.ndarray      # (P,) bool
     ts: jnp.ndarray           # (P,) i32
     count: jnp.ndarray        # () i32 filled entries
@@ -49,6 +50,7 @@ def init_pool(capacity: int) -> ReplayPool:
         color_label=jnp.zeros((capacity, 3)),
         sem_label=jnp.full((capacity,), -1, jnp.int32),
         weight=jnp.zeros((capacity,)),
+        ray=jnp.zeros((capacity, 3)),
         is_free=jnp.zeros((capacity,), bool),
         ts=jnp.zeros((capacity,), jnp.int32),
         count=jnp.int32(0),
@@ -84,12 +86,13 @@ def pool_insert(
     col = pool.color_label.at[dest].set(s.color_label, mode="drop")
     sem = pool.sem_label.at[dest].set(s.sem_label, mode="drop")
     w = pool.weight.at[dest].set(s.weight, mode="drop")
+    ray = pool.ray.at[dest].set(s.normal_label, mode="drop")
     fr = pool.is_free.at[dest].set(s.is_free, mode="drop")
     ts = pool.ts.at[dest].set(cur_ts, mode="drop")
     new_count = jnp.minimum(n_valid, tail_room)
     return pool.replace(
         points=pts, sdf_label=sdf, color_label=col, sem_label=sem, weight=w,
-        is_free=fr, ts=ts,
+        ray=ray, is_free=fr, ts=ts,
         count=jnp.minimum(pool.count + n_valid, P),
         new_begin=pool.count,
         new_count=jnp.maximum(new_count, jnp.int32(0)),
@@ -104,7 +107,8 @@ def pool_batch(
     """Sample a training batch: bs_new fresh-frame samples + (bs - bs_new)
     uniform history (reference get_batch, mapper.py:704-771).
 
-    Returns (points, sdf_label, color_label, weight, valid, sem_label)."""
+    Returns (points, sdf_label, color_label, weight, valid, sem_label,
+    ray)."""
     k1, k2 = jax.random.split(key)
     hist = jax.random.randint(k1, (bs - bs_new,), 0,
                               jnp.maximum(pool.count, 1))
@@ -116,5 +120,5 @@ def pool_batch(
     valid = valid & (pool.count > 0)
     return (
         pool.points[idx], pool.sdf_label[idx], pool.color_label[idx],
-        pool.weight[idx], valid, pool.sem_label[idx],
+        pool.weight[idx], valid, pool.sem_label[idx], pool.ray[idx],
     )

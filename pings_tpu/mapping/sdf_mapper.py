@@ -130,13 +130,16 @@ def _make_sdf_step_body(cfg, optimizer):
     grad_delta = cfg.voxel_size_m * cfg.num_grad_step_ratio
     color_on = cfg.color_on
     sem_on = cfg.semantic_on
+    incidence_on = cfg.incidence_weight_on
+    incidence_floor = cfg.incidence_weight_floor
     weight_e = cfg.weight_e
     weight_c = cfg.weight_c
     weight_s = cfg.weight_s
 
     def step(params, opt_state, batch, static_map, decoders, freeze):
-        pts, sdf_label, color_label, weight, valid, sem_label = (
-            batch if len(batch) == 6 else (*batch, None))
+        pts, sdf_label, color_label, weight, valid = batch[:5]
+        sem_label = batch[5] if len(batch) > 5 else None
+        ray = batch[6] if len(batch) > 6 else None
 
         # ONE neighbor search for the whole iteration, hoisted out of the
         # loss closure: neighbor selection depends only on non-trainable
@@ -151,14 +154,26 @@ def _make_sdf_step_body(cfg, optimizer):
             q = npm.eval_neighbors(m, pts, kidx, stencil_r, alpha)
             sdf, _, qvalid = field.sdf_from_query(d, q, sigma_scale)
             v = (valid & qvalid).astype(jnp.float32)
-            bce = losses.sdf_bce_loss(sdf, sdf_label, weight, sigma, v)
-
-            # eikonal on the first eik_n points (batch is already shuffled);
-            # numerical central differences (reference numerical_grad path,
-            # mapper.py:918-939) sharing the center neighbor table
-            g = field.sdf_grad_numerical_nn(m, d, pts[:eik_n],
-                                            kidx[:eik_n], sigma_scale,
-                                            grad_delta, stencil_r, alpha)
+            w_b = weight
+            if incidence_on and ray is not None:
+                # full-batch FD gradient (shared neighbor table) both
+                # feeds the incidence weights and covers the eikonal
+                g_all = field.sdf_grad_numerical_nn(
+                    m, d, pts, kidx, sigma_scale, grad_delta, stencil_r,
+                    alpha)
+                w_b = w_b * jax.lax.stop_gradient(losses.incidence_weights(
+                    g_all, ray, incidence_floor))
+                g = g_all[:eik_n]
+            else:
+                # eikonal on the first eik_n points (batch is already
+                # shuffled); numerical central differences (reference
+                # numerical_grad path, mapper.py:918-939) sharing the
+                # center neighbor table
+                g = field.sdf_grad_numerical_nn(m, d, pts[:eik_n],
+                                                kidx[:eik_n], sigma_scale,
+                                                grad_delta, stencil_r,
+                                                alpha)
+            bce = losses.sdf_bce_loss(sdf, sdf_label, w_b, sigma, v)
             eik = losses.eikonal_loss(g, v[:eik_n])
 
             if color_on:

@@ -30,6 +30,8 @@ if os.environ.get("FREE_BEHIND") is not None:
     overrides["free_behind_n"] = int(os.environ["FREE_BEHIND"])
 if os.environ.get("SSR") is not None:
     overrides["surface_sample_range_m"] = float(os.environ["SSR"])
+if os.environ.get("INC") is not None:
+    overrides["incidence_weight_on"] = os.environ["INC"] == "1"
 cfg = Config.load("configs/kitti_synth.yaml", overrides)
 ds = dataset_factory("kitti", "data_validation/kitti_synth", "00", cfg)
 system = SlamSystem(cfg)

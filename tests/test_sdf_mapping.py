@@ -64,9 +64,13 @@ class TestPool:
                         jnp.zeros((32, 3)), jnp.ones(32, bool), jnp.zeros(3))
         pool = rp.pool_insert(pool, s, jnp.int32(0), jax.random.PRNGKey(1))
         assert int(pool.count) == 32 * 7
-        pts, sdf, col, w, valid, sem = rp.pool_batch(
+        pts, sdf, col, w, valid, sem, ray = rp.pool_batch(
             pool, jax.random.PRNGKey(2), 128, 32)
         assert pts.shape == (128, 3) and bool(valid.all())
+        # pooled rays are unit sensor->sample directions
+        assert ray.shape == (128, 3)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(ray), axis=1),
+                                   1.0, atol=1e-5)
 
     def test_eviction_keeps_capacity(self, rng):
         pool = rp.init_pool(256)
@@ -242,3 +246,44 @@ def test_untouched_feature_rows_bit_stable_with_weight_decay(rng):
     near_after = np.asarray(params["geo_feat"])[near_rows]
     near_before = np.asarray(m.geo_feat[:n])[near_rows]
     assert not np.array_equal(near_before, near_after)
+
+
+def test_incidence_weights_geometry():
+    """Grazing rays get the floor weight, perpendicular rays full weight
+    (losses.incidence_weights; data_sampler.py:157's TODO realized)."""
+    from pings_tpu.mapping.losses import incidence_weights
+
+    grad = jnp.asarray([[0.0, 0, 1], [0, 0, 1], [0, 0, 1]])
+    ray = jnp.asarray([[0.0, 0, 1],          # head-on: w = 1
+                       [1.0, 0, 0],          # grazing: w = floor
+                       [np.sqrt(0.5), 0, np.sqrt(0.5)]])  # 45 deg
+    w = np.asarray(incidence_weights(grad, ray, floor=0.2))
+    np.testing.assert_allclose(w[0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(w[1], 0.2, atol=1e-5)
+    np.testing.assert_allclose(w[2], 0.2 + 0.8 * np.sqrt(0.5), atol=1e-5)
+
+
+def test_incidence_weighting_step_runs():
+    """sdf scan step with incidence_weight_on consumes the pooled rays."""
+    cfg = Config.load(overrides=dict(
+        max_points=4096, buffer_size=1 << 14, voxel_size_m=0.3,
+        feature_dim=8, color_feature_dim=8, bs=256,
+        geo_mlp_hidden_dim=16, color_mlp_hidden_dim=16,
+        pool_capacity=1 << 12, incidence_weight_on=True))
+    m = npm.init_map(cfg, jax.random.PRNGKey(0))
+    decoders = dec.init_decoders(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(0)
+    ep = (rng.normal(size=(64, 3)) * 2 + 5).astype(np.float32)
+    m = npm.insert_points(
+        m, jnp.asarray(ep), jnp.zeros((64, 3)), jnp.ones(64, bool),
+        jnp.tile(jnp.array([1.0, 0, 0, 0]), (64, 1)), jnp.int32(0),
+        jnp.zeros(16), jnp.float32(1e9))
+    pool = rp.init_pool(1 << 12)
+    s = sample_rays(jax.random.PRNGKey(0), jnp.asarray(ep),
+                    jnp.zeros((64, 3)), jnp.ones(64, bool), jnp.zeros(3))
+    pool = rp.pool_insert(pool, s, jnp.int32(0), jax.random.PRNGKey(1))
+    opt, params, state = sdf_mapper.init_sdf_train(m, decoders, cfg)
+    step = sdf_mapper.make_sdf_scan_step(cfg, opt)
+    params, state, mets = step(params, state, pool, jax.random.PRNGKey(2),
+                               m, decoders, jnp.asarray(False), iters=3)
+    assert np.isfinite(float(mets.bce[-1]))
