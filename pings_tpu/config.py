@@ -119,7 +119,14 @@ class Config:
     # (losses.incidence_weights; the reference's data_sampler.py:157
     # TODO): weight = floor + (1-floor)*|cos(field grad, ray)|. Costs a
     # full-batch FD gradient per step (cheap with the shared neighbor
-    # table); validated by the sdf_bias_probe before enabling by default
+    # table). Default OFF after a two-sided experiment
+    # (scripts/diag/sdf_bias_probe.py + a closed-loop run): with GT poses
+    # it HALVES the ground zero-crossing bias (-14.8 -> -7.1 mm) and the
+    # tracker bias ((-50,+14) -> (-19,+9) mm), but in the closed SLAM
+    # loop the weights depend on the still-untrained field gradient, the
+    # young map destabilizes (valid ratio 0.95 -> 0.58 within 10 frames)
+    # and the run aborts — a field-independent incidence estimate (scan
+    # normals) is the prerequisite for enabling it online
     incidence_weight_on: bool = False
     incidence_weight_floor: float = 0.1
     num_grad_step_ratio: float = 0.2
