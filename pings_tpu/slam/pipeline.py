@@ -634,10 +634,25 @@ class SlamSystem:
         # drawn inside the jitted step (draw_batch) — a GS iteration is
         # one dispatch over the TPU tunnel, not three
         bkeys = jax.random.split(self._next_key(), gs_iters)
-        for it in range(gs_iters):
+        # pre-sample the frame's camera sequence and GROUP same-keyframe
+        # iterations consecutively (stable in first-appearance order):
+        # the same multiset of cameras trains, but the per-(slot, level)
+        # tile-table cache now re-bins once per keyframe per frame
+        # instead of on nearly every random slot switch (measured: a
+        # cached iteration is 41 ms vs 56 ms with a fresh bin at replica
+        # scale — scripts/diag/gs_iter_profile.py)
+        plan = []
+        for _ in range(gs_iters):
             pc = self.campool.sample()
             if pc is None:
                 return
+            plan.append(pc)
+        order = {}
+        for pc in plan:
+            order.setdefault(pc.slot, []).append(pc)
+        plan = [pc for group in order.values() for pc in group]
+        for it in range(gs_iters):
+            pc = plan[it]
             level = base_level
             depth_w = 1.0
             if cfg.long_term_train_down and pc in self.campool.long:
