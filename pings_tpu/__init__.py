@@ -36,3 +36,21 @@ import jax as _jax
 # pin precision=DEFAULT explicitly (ops/raster_pallas.py), and bench.py's
 # "fast" mode keeps its single-pass bf16 speed.
 _jax.config.update("jax_default_matmul_precision", "float32")
+
+# Persistent compilation cache: the SLAM pipeline compiles ~dozens of
+# jitted steps (per image-pyramid shape, per iteration count, per
+# freeze-phase variant); on the tunneled TPU a cold run spends several
+# minutes compiling (e.g. the freeze_after_frame transition alone costs
+# ~190 s mid-run). The cache makes reruns and validation sweeps skip all
+# of it. Override the location with PINGS_JAX_CACHE_DIR; disable with
+# PINGS_JAX_CACHE_DIR=0.
+import os as _os
+
+_cache = _os.environ.get("PINGS_JAX_CACHE_DIR",
+                         _os.path.expanduser("~/.cache/pings_tpu_jax"))
+if _cache and _cache != "0":
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # older jax without the cache config — run uncached

@@ -35,7 +35,11 @@ def run(cmd, **kw):
 
 
 def latest_run_dir(out_root: str, name: str) -> str:
-    runs = sorted(d for d in os.listdir(out_root) if d.startswith(name))
+    # match "<name>_<timestamp>" exactly — "replica_synth" must NOT match
+    # "replica_synth_smooth_..." (the texture-experiment variant dirs)
+    import re
+    pat = re.compile(re.escape(name) + r"_\d{8}_\d{6}$")
+    runs = sorted(d for d in os.listdir(out_root) if pat.match(d))
     assert runs, f"no run dir for {name} under {out_root}"
     return os.path.join(out_root, runs[-1])
 
