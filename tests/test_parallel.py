@@ -105,6 +105,86 @@ def test_gauss_sharded_render_matches_unsharded(world):
                                np.asarray(ref.depth), atol=2e-4)
 
 
+@pytest.mark.parametrize("mode", ["3dgs", "surfel"])
+def test_tile_sharded_pallas_blend_interpret_matches_single(world, mode,
+                                                            monkeypatch):
+    """The tile0-offset Pallas kernel + shard_map AD psum, executed.
+
+    Runs ``blend_gaussians_tile_sharded`` on the 8-device CPU mesh with
+    the kernels in interpreter mode and asserts forward AND backward
+    equality with the single-device interpreted kernel (VERDICT r4
+    item 4: this code path had never executed anywhere)."""
+    from pings_tpu.ops import raster_pallas as rp
+
+    monkeypatch.setattr(rp, "INTERPRET", True)
+    cfg, m, decoders, cam, rng = world
+    n = 512
+    r2 = np.random.default_rng(3)
+    means = jnp.asarray(np.stack([
+        r2.uniform(-4, 4, n), r2.uniform(-3, 3, n), r2.uniform(2, 9, n)],
+        -1), jnp.float32)
+    quats = jnp.asarray(r2.normal(size=(n, 4)), jnp.float32)
+    quats = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    scales = jnp.asarray(r2.uniform(0.05, 0.2, (n, 3)), jnp.float32)
+    if mode == "surfel":
+        scales = scales.at[:, 2].set(1e-7)
+    opas = jnp.asarray(r2.uniform(0.3, 0.9, n), jnp.float32)
+    cols = jnp.asarray(r2.random((n, 3)), jnp.float32)
+    valid = jnp.ones(n, bool)
+
+    tile, sup = 16, 128
+    ntx, nty = W // tile, H // tile
+    if mode == "surfel":
+        ps = rz.project_surfels(means, quats, scales, opas, cols, valid,
+                                jnp.eye(4), cam.K, W, H, mode="surfel")
+        base = jax.tree.map(jax.lax.stop_gradient, ps.base)
+        attr16 = rp.surfel_attr_matrix(ps, cam.K)
+    else:
+        p = rz.project_gaussians(means, quats, scales, opas, cols, valid,
+                                 jnp.eye(4), cam.K, W, H)
+        base = jax.tree.map(jax.lax.stop_gradient, p)
+        attr16 = rp.gauss_attr_matrix(p)
+    bins = rz.bin_gaussians(base, W, H, tile=tile, max_per_tile=128)
+
+    mesh = make_mesh(8, axis="tile")
+
+    def single(a16):
+        return rp._blend_gaussians(a16, bins, None, ntx, nty, tile, sup,
+                                   mode, False)
+
+    def sharded(a16):
+        return rp.blend_gaussians_tile_sharded(
+            mesh, "tile", a16, bins, W, H, tile=tile, superblock=sup,
+            mode=mode)
+
+    out_s, trans_s, med_s = single(attr16)
+    with mesh:
+        out_m, trans_m, med_m = sharded(attr16)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_s),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(trans_m), np.asarray(trans_s),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(med_m), np.asarray(med_s),
+                               atol=1e-6)
+    assert float(jnp.max(jnp.abs(out_s))) > 0, "degenerate scene"
+
+    # backward: cotangents on out AND trans so both grad paths (incl. the
+    # shard_map psum of the replicated attr16 gradient) are exercised
+    wo = jnp.asarray(r2.random(out_s.shape), jnp.float32)
+    wt = jnp.asarray(r2.random(trans_s.shape), jnp.float32)
+
+    def loss(a16, f):
+        o, t, _ = f(a16)
+        return jnp.sum(o * wo) + jnp.sum(t * wt)
+
+    g_single = jax.grad(loss)(attr16, single)
+    with mesh:
+        g_shard = jax.grad(loss)(attr16, sharded)
+    np.testing.assert_allclose(np.asarray(g_shard), np.asarray(g_single),
+                               rtol=1e-5, atol=1e-5)
+    assert float(jnp.max(jnp.abs(g_single))) > 0, "zero gradient"
+
+
 def _run_dp(world, n_devices, n_cams=8):
     """One DP step on an n-device mesh over the same 8-camera batch."""
     cfg, m, decoders, cam, _ = world
