@@ -27,8 +27,11 @@ relayouts, so the direct form stays.
 Dataflow (one custom_vjp over the whole pack+blend stage):
 - forward: XLA gathers the per-tile packed attribute table (T, Kmax, 16)
   from the per-gaussian attribute matrix (N, 16) via bins.gauss_idx, then
-  the Pallas kernel maps it to (T, 16, P) blended channels + (T, 1, P)
-  final transmittance (+ (T, 1, P) median depth in surfel mode).
+  the Pallas kernel maps it to (T, 8, P) blended channels + (T, 1, P)
+  final transmittance (+ (T, 1, P) median depth in surfel mode). Only
+  the 8 meaningful output rows are emitted (r5: emitting all 16 table
+  columns doubled kernel-output HBM traffic and untile cost for rows
+  that blended geometry columns into garbage).
 - backward: the Pallas kernel re-blends front-to-back emitting per-slot
   gradients (T, Kmax, 16); one XLA scatter-add onto bins.gauss_tbl
   aggregates them per gaussian (~10 ms at 460k slots on v5e; sorted-
@@ -51,9 +54,8 @@ block doubles as the output-attribute matrix:
 channels): 0 r, 1 g, 2 b, 3 depth, 4 nx, 5 ny, 6 nz, 7 const 1.0 (alpha
 channel), 8 mu_x, 9 mu_y, 10 conic_a, 11 conic_b, 12 conic_c,
 13 opacity (0 = masked), 14-15 pad. Output rows: 0 r, 1 g, 2 b, 3 depth,
-4 nx, 5 ny, 6 nz, 7 alpha; rows 8-15 accumulate meaningless products and
-are ignored by callers (kept as true outputs so the rho identity holds
-for any cotangent).
+4 nx, 5 ny, 6 nz, 7 alpha (the rho identity holds: cotangents exist only
+for these 8 emitted rows).
 
 Surfel (surfel_attr_matrix; the reference default gs_type,
 diff-gaussian-surfel-rasterization-w-pose, call
@@ -89,7 +91,11 @@ from pings_tpu.ops.rasterize import (
 
 INTERPRET = False  # set True to run the kernels in interpreter mode (CPU)
 SUPER = 256        # gaussians blended per superblock (sublane axis)
-NCH = 16           # packed channel columns (attrs and output rows)
+NCH = 16           # packed channel columns (attr table lanes)
+NOUT = 8           # blended output rows (cols 0-7 of the table; the
+                   # geometry columns 8-15 blend to nothing meaningful,
+                   # so emitting them only doubled the kernel-output HBM
+                   # traffic and the untile cost — r5 slimming)
 CUTOFF_Q = 9.0
 ALPHA_FLOOR = 1.0 / 255.0
 TRANS_EPS = 1e-4   # early-termination threshold
@@ -146,12 +152,20 @@ _ND_COLS = (12, 13, 14)    # surfel plane-depth basis columns
 
 
 def _pack_table(attr16: jnp.ndarray, bins: TileBins) -> jnp.ndarray:
-    """Gather (N, 16) -> (T, Kmax, 16); masked slots zeroed (their
-    opacity column = 0 makes them blend no-ops). One per-slot row
-    gather straight off the gaussian-id table."""
+    """Gather (N, 16) -> (T, Kmax, 16): ONE per-slot row gather straight
+    off the gaussian-id table, nothing else. Slots past a tile's count
+    hold neighboring tiles' real rows (rasterize._build_window_table);
+    they are neutralized *inside* the kernels by the per-slot count mask
+    (_slot_mask) — a 2-op VPU compare — instead of a full (T, Kmax, 16)
+    where-pass here, which cost ~2-3 ms/iter of pure HBM traffic (r5)."""
     n = attr16.shape[0]
-    tbl = attr16[jnp.minimum(bins.gauss_tbl, n - 1)]      # (T, Kmax, 16)
-    return jnp.where(bins.mask[..., None], tbl, 0.0)
+    return attr16[jnp.minimum(bins.gauss_tbl, n - 1)]     # (T, Kmax, 16)
+
+
+def _slot_mask(k0, sb: int, cnt):
+    """(sb, 1) bool: slot k0+i is within the tile's occupancy count."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (sb, 1), 0)
+    return (k0 + iota) < cnt
 
 
 def _unpack_grads(dtable: jnp.ndarray, bins: TileBins,
@@ -159,8 +173,8 @@ def _unpack_grads(dtable: jnp.ndarray, bins: TileBins,
     """Aggregate per-slot grads (T, Kmax, 16) -> (N, 16) by scatter-add
     on the gaussian-id table.
 
-    Masked slots carry exactly-zero gradients (their opacity is 0 so
-    alpha == 0 and the kernel's active mask kills every term), so no
+    Masked slots carry exactly-zero gradients (the kernels' _slot_mask
+    forces their alpha to 0 and the active gate kills every term), so no
     mask filter is needed before the add."""
     flat = dtable.reshape(-1, NCH)
     idx = jnp.minimum(bins.gauss_tbl.reshape(-1), n - 1)
@@ -315,11 +329,13 @@ def _fwd_kernel_3dgs(tile0_ref, counts_ref, attrs_ref, out_ref, trans_ref,
             def compute(_):
                 chunk = attrs_ref[g, pl.ds(k0, sb), :]      # (sb, 16)
                 alpha, _, _, _, _ = _super_alpha(chunk, px, py, "3dgs")
+                alpha = jnp.where(_slot_mask(k0, sb, cnt), alpha, 0.0)
                 one_m = 1.0 - alpha
                 excl = _excl_prod(one_m, tri_s, fast)       # (sb, P)
                 w = alpha * excl * trans                    # blend weights
-                # acc (16, P) += chunk^T @ w on the MXU
-                acc2 = acc + _split_dot(chunk, w, ((0,), (0,)), fast)
+                # acc (8, P) += chunk[:, :8]^T @ w on the MXU
+                acc2 = acc + _split_dot(chunk[:, :NOUT], w, ((0,), (0,)),
+                                        fast)
                 trans2 = trans * (excl[sb - 1:sb, :]
                                   * one_m[sb - 1:sb, :])
                 return acc2, trans2
@@ -327,7 +343,7 @@ def _fwd_kernel_3dgs(tile0_ref, counts_ref, attrs_ref, out_ref, trans_ref,
             live = (jnp.max(trans) > TRANS_EPS) & (j * sb < cnt)
             return jax.lax.cond(live, compute, lambda _: carry, None)
 
-        acc0 = jnp.zeros((NCH, P), jnp.float32)
+        acc0 = jnp.zeros((NOUT, P), jnp.float32)
         trans0 = jnp.ones((1, P), jnp.float32)
         acc, trans = jax.lax.fori_loop(0, kmax // sb, super_body,
                                        (acc0, trans0))
@@ -342,7 +358,7 @@ def _fwd_kernel_surfel(tile0_ref, counts_ref, attrs_ref, out_ref,
     P = tile * tile
     sb = _superblock(kmax, sup)
     tri_s = _tri(True, sb)
-    row = jax.lax.broadcasted_iota(jnp.int32, (NCH, 1), 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (NOUT, 1), 0)
     lt6 = (row < 6).astype(jnp.float32)
     oh6 = (row == 6).astype(jnp.float32)
     oh7 = (row == 7).astype(jnp.float32)
@@ -359,12 +375,14 @@ def _fwd_kernel_surfel(tile0_ref, counts_ref, attrs_ref, out_ref,
                 chunk = attrs_ref[g, pl.ds(k0, sb), :]
                 _, z, z_ok = _surfel_z(chunk, px, py)
                 alpha, _, _, _, _ = _super_alpha(chunk, px, py, "surfel")
-                alpha = jnp.where(z_ok, alpha, 0.0)
+                alpha = jnp.where(z_ok & _slot_mask(k0, sb, cnt),
+                                  alpha, 0.0)
                 one_m = 1.0 - alpha
                 excl = _excl_prod(one_m, tri_s, fast)
                 T_in = excl * trans
                 w = alpha * T_in
-                acc2 = acc + _split_dot(chunk, w, ((0,), (0,)), fast)
+                acc2 = acc + _split_dot(chunk[:, :NOUT], w, ((0,), (0,)),
+                                        fast)
                 acc_d2 = acc_d + jnp.sum(w * z, axis=0, keepdims=True)
                 acc_a2 = acc_a + jnp.sum(w, axis=0, keepdims=True)
                 # median depth: the slot where transmittance crosses 0.5
@@ -385,7 +403,7 @@ def _fwd_kernel_surfel(tile0_ref, counts_ref, attrs_ref, out_ref,
         z1 = jnp.zeros((1, P), jnp.float32)
         acc, acc_d, acc_a, trans, med, _ = jax.lax.fori_loop(
             0, kmax // sb, super_body,
-            (jnp.zeros((NCH, P), jnp.float32), z1, z1,
+            (jnp.zeros((NOUT, P), jnp.float32), z1, z1,
              jnp.ones((1, P), jnp.float32), z1, z1))
         out_ref[g] = acc * lt6 + oh6 * acc_d + oh7 * acc_a
         trans_ref[g] = trans
@@ -404,7 +422,8 @@ def _fwd_kernel_surfel(tile0_ref, counts_ref, attrs_ref, out_ref,
 
 def _geom_grads(chunk, g_or_gp, w, dq, dx, dy, dexp, mode: str, fast):
     """Direct channel grads (sb, 16): one MXU matmul for the blended
-    attribute columns + one-hot outer products for the geometry columns.
+    attribute columns (0..7, padded right to 16 lanes) + one-hot outer
+    products for the geometry columns.
     q = A dx^2 + C dy^2 + 2B dx dy, dx = px - mu_x:
     dq/dmu_x = -(2A dx + 2B dy), dq/dmu_y = -(2C dy + 2B dx)."""
     mx, my, ca, cb, cc, op = _GEOM_COLS[mode]
@@ -416,7 +435,9 @@ def _geom_grads(chunk, g_or_gp, w, dq, dx, dy, dexp, mode: str, fast):
     dC = red(dq * dy * dy)
     dmux = red(dq * (-2.0 * col(ca) * dx - 2.0 * col(cb) * dy))
     dmuy = red(dq * (-2.0 * col(cc) * dy - 2.0 * col(cb) * dx))
-    d_chunk = _split_dot(w, g_or_gp, ((1,), (1,)), fast)
+    d8 = _split_dot(w, g_or_gp, ((1,), (1,)), fast)       # (sb, NOUT)
+    d_chunk = jnp.concatenate(
+        [d8, jnp.zeros((d8.shape[0], NCH - NOUT), d8.dtype)], axis=1)
     return (d_chunk
             + dmux * _lane_onehot(mx) + dmuy * _lane_onehot(my)
             + dA * _lane_onehot(ca) + dB * _lane_onehot(cb)
@@ -450,13 +471,14 @@ def _bwd_kernel_3dgs(tile0_ref, counts_ref, attrs_ref, gout_ref,
                 chunk = attrs_ref[gi_, pl.ds(k0, sb), :]     # (sb, 16)
                 alpha, dx, dy, q, unclamped = _super_alpha(
                     chunk, px, py, "3dgs")
+                alpha = jnp.where(_slot_mask(k0, sb, cnt), alpha, 0.0)
                 one_m = 1.0 - alpha
                 one_m_safe = jnp.maximum(one_m, 1e-3)
                 excl = _excl_prod(one_m, tri_s, fast)
                 T_i = excl * trans                           # (sb, P)
                 w = alpha * T_i
-                # phi (sb, P) = chunk @ g on the MXU
-                phi = _split_dot(chunk, g, ((1,), (0,)), fast)
+                # phi (sb, P) = chunk[:, :8] @ g on the MXU
+                phi = _split_dot(chunk[:, :NOUT], g, ((1,), (0,)), fast)
                 sigma_i = sigma + _tri_matmul(tri_i, w * phi, fast)
                 da = (phi * T_i - (rho - sigma_i) / one_m_safe
                       - g_trans * trans_final / one_m_safe)
@@ -494,7 +516,7 @@ def _bwd_kernel_surfel(tile0_ref, counts_ref, attrs_ref, gout_ref,
     sb = _superblock(kmax, sup)
     tri_s = _tri(True, sb)
     tri_i = _tri(False, sb)
-    row = jax.lax.broadcasted_iota(jnp.int32, (NCH, 1), 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (NOUT, 1), 0)
     lt6 = (row < 6).astype(jnp.float32)
     ndx_c, ndy_c, nd0_c = _ND_COLS
 
@@ -521,7 +543,8 @@ def _bwd_kernel_surfel(tile0_ref, counts_ref, attrs_ref, gout_ref,
                 _, z, z_ok = _surfel_z(chunk, px, py)
                 alpha, dx, dy, q, unclamped = _super_alpha(
                     chunk, px, py, "surfel")
-                alpha = jnp.where(z_ok, alpha, 0.0)
+                alpha = jnp.where(z_ok & _slot_mask(k0, sb, cnt),
+                                  alpha, 0.0)
                 one_m = 1.0 - alpha
                 one_m_safe = jnp.maximum(one_m, 1e-3)
                 excl = _excl_prod(one_m, tri_s, fast)
@@ -529,7 +552,7 @@ def _bwd_kernel_surfel(tile0_ref, counts_ref, attrs_ref, gout_ref,
                 w = alpha * T_i
                 # phi includes the per-pixel depth row and the const
                 # alpha row (out_6 = sum w z, out_7 = sum w)
-                phi = (_split_dot(chunk, gp, ((1,), (0,)), fast)
+                phi = (_split_dot(chunk[:, :NOUT], gp, ((1,), (0,)), fast)
                        + g6 * z + g7)
                 sigma_i = sigma + _tri_matmul(tri_i, w * phi, fast)
                 da = (phi * T_i - (rho - sigma_i) / one_m_safe
@@ -582,9 +605,9 @@ def _blend_fwd_call(attrs, counts, ntx, nty, tile, sup, mode="3dgs",
     G = _grid_tiles(T)
     spec_p = lambda c: pl.BlockSpec((G, c, P), lambda t: (t, 0, 0),
                                     memory_space=pltpu.VMEM)
-    out_shapes = [jax.ShapeDtypeStruct((T, NCH, P), jnp.float32),
+    out_shapes = [jax.ShapeDtypeStruct((T, NOUT, P), jnp.float32),
                   jax.ShapeDtypeStruct((T, 1, P), jnp.float32)]
-    out_specs = [spec_p(NCH), spec_p(1)]
+    out_specs = [spec_p(NOUT), spec_p(1)]
     if mode == "surfel":
         kern = functools.partial(_fwd_kernel_surfel, ntx=ntx, tile=tile,
                                  kmax=kmax, sup=sup, gtiles=G, fast=fast)
@@ -631,7 +654,7 @@ def _blend_bwd_call(attrs, counts, g_out, g_trans, rho, trans_final, ntx,
             pl.BlockSpec((T,), lambda t: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((G, kmax, NCH), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            specs_p(NCH), specs_p(1), specs_p(1), specs_p(1),
+            specs_p(NOUT), specs_p(1), specs_p(1), specs_p(1),
         ],
         out_specs=pl.BlockSpec((G, kmax, NCH), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -645,7 +668,7 @@ def _blend_bwd_call(attrs, counts, g_out, g_trans, rho, trans_final, ntx,
 def _blend_gaussians(attr16, bins: TileBins, tile0, ntx: int, nty: int,
                      tile: int, sup: int, mode: str = "3dgs",
                      fast: bool = False):
-    """(N, 16) attrs + bins -> (T, 16, P) blended channels, (T, 1, P)
+    """(N, 16) attrs + bins -> (T, 8, P) blended channels, (T, 1, P)
     final transmittance, (T, 1, P) median depth (surfel; zeros for 3dgs,
     forward-only either way). One custom_vjp over pack+blend so the
     backward aggregates per-slot grads with a single scatter-add.
@@ -708,6 +731,7 @@ def _contrib_kernel(tile0_ref, counts_ref, attrs_ref, contrib_ref, *,
                 if mode == "surfel":
                     _, _, z_ok = _surfel_z(chunk, px, py)
                     alpha = jnp.where(z_ok, alpha, 0.0)
+                alpha = jnp.where(_slot_mask(k0, sb, cnt), alpha, 0.0)
                 one_m = 1.0 - alpha
                 excl = _excl_prod(one_m, tri_s, True)
                 w = alpha * excl * tr
