@@ -122,6 +122,16 @@ class PoseGraph:
         tran_std = cfg.pgo_tran_std
         self.odom_sqrt_info = np.array(
             [1 / tran_std] * 3 + [1 / max(rot_std, 1e-6)] * 3)
+        # drift-scaled odometry covariances (VERDICT r4 item 3b): the
+        # reference's 1 %/m drift model (pgo.py:321-336) informs loop
+        # *gating* there but never the factor weights; here it scales the
+        # per-edge std with the edge's motion so PGO distributes a loop
+        # misclosure in proportion to how much odometry could actually
+        # have drifted on each edge (a chain of motion-proportional
+        # variances IS the random-walk model) instead of uniformly.
+        self.drift_per_m = getattr(cfg, "pgo_drift_per_m", 0.01)
+        self.drift_rot_rad_per_m = np.radians(
+            getattr(cfg, "pgo_drift_rot_deg_per_m", 0.05))
         self.last_loop_node: Optional[int] = None
         self.travel_dist_at_loop = 0.0
         self.min_loop_error: float = cfg.pgo_error_thre_frame
@@ -134,13 +144,23 @@ class PoseGraph:
         self.id2node[frame_id] = node
         return node
 
+    def odom_sqrt_info_for(self, T_i_j: np.ndarray) -> np.ndarray:
+        """Per-edge sqrt information: base registration std + the drift
+        model's per-meter term scaled by this edge's translation."""
+        d = float(np.linalg.norm(np.asarray(T_i_j)[:3, 3]))
+        tran_std = self.cfg.pgo_tran_std + self.drift_per_m * d
+        rot_std = (np.radians(self.cfg.pgo_rot_std)
+                   + self.drift_rot_rad_per_m * d)
+        return np.array([1 / tran_std] * 3 + [1 / max(rot_std, 1e-6)] * 3)
+
     def add_odometry_factor(self, frame_i: int, frame_j: int,
                             T_i_j: np.ndarray,
                             sqrt_info: Optional[np.ndarray] = None):
         self.factors.append(BetweenFactor(
             self.id2node[frame_i], self.id2node[frame_j],
             np.asarray(T_i_j, np.float64),
-            sqrt_info if sqrt_info is not None else self.odom_sqrt_info))
+            sqrt_info if sqrt_info is not None
+            else self.odom_sqrt_info_for(T_i_j)))
 
     def add_loop_factor(self, frame_i: int, frame_j: int, T_i_j: np.ndarray,
                         sqrt_info: Optional[np.ndarray] = None):

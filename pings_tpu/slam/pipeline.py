@@ -87,7 +87,9 @@ class SlamSystem:
         self.aborted = False
         self.abort_reason = ""
         self.n_loops = 0
+        self.n_loops_uninformative = 0
         self._last_loop_fid = -(10 ** 9)
+        self._odom_noise_rng = np.random.default_rng(cfg.odom_noise_seed)
         # robot-stop detection (reference slam_dataset.py:709-721)
         self.stop_count = 0
         self.stop_status = False
@@ -211,6 +213,19 @@ class SlamSystem:
                             f"{cfg.lose_track_abort_n} consecutive frames")
             else:
                 self.lose_track_count = 0
+            if cfg.odom_noise_std_per_m > 0 and rep.tracking_valid:
+                # validation-only random-walk odometry corruption: scale
+                # per-edge noise with edge motion so the accumulated
+                # drift is a true random walk (emulates the km-scale
+                # regime where loop closures pay, VERDICT r4 item 3)
+                T_prev_inv = hp.se3_inv(self.poses[-1])
+                d = float(np.linalg.norm((T_prev_inv @ T)[:3, 3]))
+                rng = self._odom_noise_rng
+                xi = np.concatenate([
+                    rng.normal(0, cfg.odom_noise_std_per_m * d, 3),
+                    rng.normal(0, np.radians(
+                        cfg.odom_noise_rot_deg_per_m) * d, 3)])
+                T = np.asarray(T, np.float64) @ hp.se3_exp(xi)
             self.T_rel_last = hp.se3_inv(self.poses[-1]) @ T
             self.poses.append(np.asarray(T, np.float64))
             self.odom_only_poses.append(
@@ -358,6 +373,17 @@ class SlamSystem:
             self.poses[-1][:3, :3].T @ T_loop[:3, :3])
         drift_bound = max(2.0, 3.0 * drift)
         if corr_tr > drift_bound or corr_rot > 20.0:
+            self.m = npm.recreate_hash(self.m)
+            return False
+        # informativeness (SNR) gate: a correction of the same order as
+        # the loop's own registration noise cannot improve the
+        # trajectory — applying it redistributes systematic drift into a
+        # worse one (measured r4: SLAM 1.99 m vs odometry 0.21 m on the
+        # 280 m circuit; a GT-perfect factor still landed at 0.40 m).
+        # Config rationale at config.pgo_min_loop_snr.
+        if (cfg.pgo_min_loop_snr > 0
+                and corr_tr < cfg.pgo_min_loop_snr * cfg.pgo_tran_std):
+            self.n_loops_uninformative += 1
             self.m = npm.recreate_hash(self.m)
             return False
         T_i_j = hp.se3_inv(self.poses[cand_fid]) @ T_loop
