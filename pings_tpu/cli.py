@@ -248,6 +248,13 @@ def write_results(run_dir, cfg, system, ds, reports, gt, wall) -> dict:
             k: round(sum(r.timings.get(k, 0.0) for r in reports)
                      / len(reports), 4)
             for k in stage_keys}
+        # steady-state frame time (last 40 frames — excludes the jit
+        # compile bursts at the start / freeze transition)
+        tail = reports[-40:]
+        results["sec_per_frame_steady"] = round(
+            sum(sum(r.timings.values()) for r in tail) / len(tail), 2)
+        results["max_frame_sec"] = round(
+            max(sum(r.timings.values()) for r in reports), 1)
     # online GS training PSNR over the last frames (reference logs the
     # per-iter GS losses; mapper.py:1559-1574)
     psnrs = [r.metrics["gs_psnr"] for r in reports[-10:]
@@ -267,11 +274,28 @@ def write_results(run_dir, cfg, system, ds, reports, gt, wall) -> dict:
             ate = absolute_error(system.poses, used)
             # small segments for short sequences + the KITTI-standard
             # 100/200 m; relative_error averages over reachable ones
+            seglen = (10, 20, 40, 100, 200)
             rel = relative_error(system.poses, used,
-                                 segment_lengths=(10, 20, 40, 100, 200),
-                                 step=2)
+                                 segment_lengths=seglen, step=2)
             results.update(ate)
             results.update(rel)
+            # odometry-only trajectory (pre-PGO chain) evaluated the
+            # same way, so every run records SLAM-vs-odometry directly
+            # (r4 computed this by hand; the r5 gate
+            # test_kitti_loops_do_not_degrade_odometry consumes it)
+            if len(system.odom_only_poses) == len(used):
+                ate_o = absolute_error(system.odom_only_poses, used)
+                rel_o = relative_error(system.odom_only_poses, used,
+                                       segment_lengths=seglen, step=2)
+                results["odom_only"] = {
+                    "ate_trans_rmse_m": round(
+                        ate_o["ate_trans_rmse_m"], 4),
+                    "ate_rot_rmse_deg": round(
+                        ate_o["ate_rot_rmse_deg"], 4),
+                    "arte_trans_pct": rel_o.get("arte_trans_pct"),
+                    "arte_rot_deg_per_100m": rel_o.get(
+                        "arte_rot_deg_per_100m"),
+                }
             plot_trajectories(os.path.join(run_dir, "traj_plot.png"),
                               system.poses, used)
     # pose_eval.csv + timing table

@@ -127,8 +127,15 @@ class Config:
     # young map destabilizes (valid ratio 0.95 -> 0.58 within 10 frames)
     # and the run aborts — a field-independent incidence estimate (scan
     # normals) is the prerequisite for enabling it online
+    # r5: the prerequisite is built — ops/scan_normals.py estimates
+    # incidence from the raw scan (voxel-covariance PCA), independent of
+    # the field, applied to surface-sample weights at sampling time.
+    # incidence_source "scan" (default) uses it; "field" keeps the r4
+    # field-gradient variant (sdf_mapper) for comparison.
     incidence_weight_on: bool = False
     incidence_weight_floor: float = 0.1
+    incidence_source: str = "scan"
+    incidence_normal_voxel_m: float = 0.6
     num_grad_step_ratio: float = 0.2
     consistency_loss_on: bool = False
     weight_c: float = 0.5

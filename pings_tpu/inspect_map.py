@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seq", default=None)
     p.add_argument("--eval-every", type=int, default=5,
                    help="use every Nth frame as a test view")
+    p.add_argument("--cam-refine", action="store_true",
+                   help="force per-view camera refinement before eval "
+                        "(sets gs_eval_cam_refine_on; the reference "
+                        "refine loop, mapper.py:1774-1860 — required "
+                        "for NVS eval along an ESTIMATED trajectory)")
     p.add_argument("--out", default=None, help="output dir (default RUN_DIR/inspect)")
     return p
 
@@ -150,6 +155,9 @@ def eval_heldout(args, cfg, system, out_dir):
     """Held-out view metrics (reference gs_eval_offline,
     mapper.py:1691-2211) -> gs_eval.csv."""
     import csv
+
+    if getattr(args, "cam_refine", False):
+        cfg.gs_eval_cam_refine_on = True
 
     import jax.numpy as jnp
 

@@ -29,11 +29,12 @@ import jax.numpy as jnp
 
 
 def sample_rays_cfg(key, endpoints, colors, mask, sensor_origin, cfg,
-                    sem_labels=None):
+                    sem_labels=None, incid_cos=None):
     """sample_rays with all scales taken from the config."""
     return sample_rays(
         key, endpoints, colors, mask, sensor_origin,
-        sem_labels=sem_labels,
+        sem_labels=sem_labels, incid_cos=incid_cos,
+        incid_floor=cfg.incidence_weight_floor,
         surface_sample_range_m=cfg.surface_sample_range_m,
         surface_sample_n=cfg.surface_sample_n,
         free_sample_begin_ratio=cfg.free_sample_begin_ratio,
@@ -64,7 +65,7 @@ class SdfSamples(NamedTuple):
         "surface_sample_n", "free_front_n", "free_behind_n",
         "surface_sample_range_m", "free_sample_begin_ratio",
         "free_sample_end_dist_m", "sigma_base", "dist_weight_on",
-        "dist_weight_scale", "max_range",
+        "dist_weight_scale", "max_range", "incid_floor",
     ),
 )
 def sample_rays(
@@ -74,6 +75,9 @@ def sample_rays(
     mask: jnp.ndarray,           # (N,)
     sensor_origin: jnp.ndarray,  # (3,) world frame
     sem_labels: jnp.ndarray | None = None,  # (N,) i32; -1 = unlabeled
+    incid_cos: jnp.ndarray | None = None,   # (N,) |cos incidence| from
+                                            # scan normals (ops.scan_normals)
+    incid_floor: float = 0.1,
     surface_sample_range_m: float = 0.25,
     surface_sample_n: int = 3,
     free_sample_begin_ratio: float = 0.3,
@@ -142,6 +146,13 @@ def sample_rays(
             1.0 - jnp.clip(depth / max_range, 0.0, 1.0)
         )
         w = w * decay[:, None]
+    if incid_cos is not None:
+        # field-independent incidence down-weighting of the projective
+        # labels (the measured ~1 cm grazing-ground zero-crossing bias,
+        # RESULTS.md): surface samples carry the bias, freespace BCE
+        # saturates — weight the surface block only
+        w_inc = incid_floor + (1.0 - incid_floor) * incid_cos
+        w = jnp.where(is_free, w, w * w_inc[:, None])
 
     valid = jnp.broadcast_to(valid_ray[:, None], (n, S))
     # behind-surface samples past a thin structure can be wrong; the

@@ -130,7 +130,11 @@ def _make_sdf_step_body(cfg, optimizer):
     grad_delta = cfg.voxel_size_m * cfg.num_grad_step_ratio
     color_on = cfg.color_on
     sem_on = cfg.semantic_on
-    incidence_on = cfg.incidence_weight_on
+    # "field"-source incidence only: the r5 default ("scan") applies
+    # field-independent weights at sampling time (ops/scan_normals.py +
+    # sampler), so the per-step FD-gradient reweighting here stays off
+    incidence_on = (cfg.incidence_weight_on
+                    and cfg.incidence_source == "field")
     incidence_floor = cfg.incidence_weight_floor
     weight_e = cfg.weight_e
     weight_c = cfg.weight_c

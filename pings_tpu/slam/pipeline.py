@@ -484,8 +484,15 @@ class SlamSystem:
         origin = T[:3, 3].astype(np.float32)
         sem_l = (jnp.asarray(pre.sem) if cfg.semantic_on
                  and pre.sem is not None else None)
+        incid = None
+        if cfg.incidence_weight_on and cfg.incidence_source == "scan":
+            from pings_tpu.ops.scan_normals import scan_incidence_cos
+            incid, _ = scan_incidence_cos(
+                jp, jm, jnp.asarray(origin),
+                voxel=cfg.incidence_normal_voxel_m)
         s = sample_rays_cfg(self._next_key(), jp, jc, jm,
-                            jnp.asarray(origin), cfg, sem_labels=sem_l)
+                            jnp.asarray(origin), cfg, sem_labels=sem_l,
+                            incid_cos=incid)
         self.pool = rp.pool_insert(self.pool, s, jnp.int32(fid),
                                    self._next_key())
         # certainty accumulation on endpoints; the pre-accumulation blended

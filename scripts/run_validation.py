@@ -76,7 +76,8 @@ def main():
     # by ~25 m so loop closure fires and ARTE segments (100/200 m) are
     # reachable
     ap.add_argument("--frames-kitti", type=int, default=250)
-    ap.add_argument("--only", choices=("replica", "kitti"), default=None)
+    ap.add_argument("--only", choices=("replica", "kitti", "kitti_noisy"),
+                    default=None)
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
     py = sys.executable
@@ -87,7 +88,9 @@ def main():
                "--frames-replica", str(args.frames_replica),
                "--frames-kitti", str(args.frames_kitti)]
         if args.only:
-            gen += ["--only", args.only]
+            # kitti_noisy reuses the kitti_synth dataset
+            gen += ["--only",
+                    "kitti" if args.only == "kitti_noisy" else args.only]
         run(gen)
 
     if args.only in (None, "replica"):
@@ -111,19 +114,17 @@ def main():
             "run_dir": rd,
         }
 
-    if args.only in (None, "kitti"):
-        wall = run([py, "-m", "pings_tpu.cli", "configs/kitti_synth.yaml",
-                    "--data-path", os.path.join(args.data_dir, "kitti_synth"),
-                    "--output", args.out_dir])
-        rd = latest_run_dir(args.out_dir, "kitti_synth")
-        summ = read_summary(rd)
-        results["kitti_synth"] = {
-            "mode": "full SLAM (tracker on)",
+    def kitti_record(rd, summ, wall, mode):
+        rec = {
+            "mode": mode,
             "frames": summ["frames"],
             "sec_per_frame": round(summ["sec_per_frame"], 2),
+            "sec_per_frame_steady": summ.get("sec_per_frame_steady"),
+            "max_frame_sec": summ.get("max_frame_sec"),
             "wall_s": round(wall, 1),
             "map_points": summ["map_points"],
             "loops": summ.get("loops"),
+            "loops_uninformative": summ.get("loops_uninformative"),
             "travel_m": summ.get("travel_m"),
             "aborted": summ.get("aborted"),
             "ate_trans_rmse_m": round(summ["ate_trans_rmse_m"], 4),
@@ -131,8 +132,44 @@ def main():
             "arte_trans_pct": summ.get("arte_trans_pct"),
             "arte_rot_deg_per_100m": summ.get("arte_rot_deg_per_100m"),
             "gs_psnr_online": summ.get("gs_psnr"),
+            "odom_only": summ.get("odom_only"),
             "run_dir": rd,
         }
+        return rec
+
+    if args.only in (None, "kitti"):
+        wall = run([py, "-m", "pings_tpu.cli", "configs/kitti_synth.yaml",
+                    "--data-path", os.path.join(args.data_dir, "kitti_synth"),
+                    "--output", args.out_dir])
+        rd = latest_run_dir(args.out_dir, "kitti_synth")
+        summ = read_summary(rd)
+        results["kitti_synth"] = kitti_record(rd, summ, wall,
+                                              "full SLAM (tracker on)")
+        # held-out outdoor NVS eval (VERDICT r4 item 2): every 5th frame
+        # is excluded from keyframing by the config; render them from
+        # the saved map along the ESTIMATED trajectory with per-view
+        # cam refinement (the reference gs_eval_offline's refine loop —
+        # NVS quality, not localization, is under test here)
+        run([py, "-m", "pings_tpu.inspect_map", rd, "--eval",
+             "--loader", "kitti",
+             "--data-path", os.path.join(args.data_dir, "kitti_synth"),
+             "--seq", "00", "--eval-every", "5", "--cam-refine"])
+        results["kitti_synth"]["gs_eval"] = read_gs_eval(
+            os.path.join(rd, "inspect", "gs_eval.csv"))
+
+    if args.only in (None, "kitti_noisy"):
+        # random-walk odometry regime: loop closures must PAY here
+        # (VERDICT r4 item 3 done-criterion; gate
+        # test_kitti_noisy_loop_pays)
+        wall = run([py, "-m", "pings_tpu.cli",
+                    "configs/kitti_synth_noisy.yaml",
+                    "--data-path", os.path.join(args.data_dir, "kitti_synth"),
+                    "--output", args.out_dir])
+        rd = latest_run_dir(args.out_dir, "kitti_synth_noisy")
+        summ = read_summary(rd)
+        results["kitti_synth_noisy"] = kitti_record(
+            rd, summ, wall,
+            "full SLAM, random-walk odometry noise injected (1 %/m)")
 
     out_json = os.path.join(REPO, "results_validation.json")
     existing = {}

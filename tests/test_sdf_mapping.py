@@ -287,3 +287,69 @@ def test_incidence_weighting_step_runs():
     params, state, mets = step(params, state, pool, jax.random.PRNGKey(2),
                                m, decoders, jnp.asarray(False), iters=3)
     assert np.isfinite(float(mets.bce[-1]))
+
+
+def test_scan_normals_plane_and_incidence():
+    """Voxel-PCA scan normals (ops/scan_normals.py): on a ground plane
+    scanned from above-and-ahead, normals must be ~+z and the incidence
+    cos must match the analytic ray-plane angle; sparse/degenerate
+    voxels must fall back to cos=1."""
+    import numpy as np
+    from pings_tpu.ops.scan_normals import scan_incidence_cos
+
+    rng = np.random.default_rng(0)
+    n = 4000
+    pts = np.stack([rng.uniform(2, 30, n), rng.uniform(-8, 8, n),
+                    np.zeros(n)], -1).astype(np.float32)
+    origin = jnp.array([0.0, 0.0, 1.6])
+    mask = jnp.ones(n, bool)
+    cos, normals = scan_incidence_cos(jnp.asarray(pts), mask, origin,
+                                      voxel=1.0)
+    cos, normals = np.asarray(cos), np.asarray(normals)
+    # normals ~ +-z, oriented toward sensor (up)
+    assert np.mean(np.abs(normals[:, 2]) > 0.95) > 0.9
+    assert np.mean(normals[:, 2] > 0) > 0.9
+    ray = pts - np.asarray(origin)
+    ray /= np.linalg.norm(ray, axis=-1, keepdims=True)
+    expected = np.abs(ray[:, 2])
+    # points in sparse voxels (< min_pts) fall back to cos=1 -- allowed
+    # but must be rare on a dense plane
+    fallback = cos == 1.0
+    assert np.mean(fallback) < 0.1
+    good = (np.abs(normals[:, 2]) > 0.95) & ~fallback
+    np.testing.assert_allclose(cos[good], expected[good], atol=0.1)
+    # grazing ground at 30 m: cos ~ 1.6/30 -- strongly downweighted
+    far = pts[:, 0] > 25
+    assert np.mean(cos[good & far]) < 0.15
+
+    # an isolated point: its voxel has < min_pts -> cos = 1 fallback
+    lone = jnp.asarray(np.array([[50.0, 50.0, 50.0]] * 2 + [[1, 0, 0]]
+                                * 10, np.float32))
+    cos2, _ = scan_incidence_cos(lone, jnp.ones(12, bool), origin,
+                                 voxel=0.5)
+    assert float(cos2[0]) == 1.0
+
+
+def test_sampler_incidence_weighting():
+    """Surface samples of grazing rays get down-weighted; freespace
+    samples keep their weight."""
+    import numpy as np
+    from pings_tpu.mapping.sampler import sample_rays
+
+    n = 8
+    endpoints = jnp.asarray(np.stack([
+        np.linspace(5, 30, n), np.zeros(n), np.zeros(n)], -1), jnp.float32)
+    colors = jnp.zeros((n, 3))
+    mask = jnp.ones(n, bool)
+    origin = jnp.array([0.0, 0.0, 1.6])
+    cos = jnp.full((n,), 0.1)
+    s0 = sample_rays(jax.random.PRNGKey(0), endpoints, colors, mask,
+                     origin)
+    s1 = sample_rays(jax.random.PRNGKey(0), endpoints, colors, mask,
+                     origin, incid_cos=cos, incid_floor=0.1)
+    w0 = np.asarray(s0.weight).reshape(n, -1)
+    w1 = np.asarray(s1.weight).reshape(n, -1)
+    free = np.asarray(s1.is_free).reshape(n, -1)
+    np.testing.assert_allclose(w1[free], w0[free])
+    np.testing.assert_allclose(w1[~free], w0[~free] * (0.1 + 0.9 * 0.1),
+                               rtol=1e-5)

@@ -75,12 +75,58 @@ def test_kitti_slam_quality():
     assert r["frames"] >= 240
     assert not r.get("aborted", False), r
     assert r.get("travel_m", 0) > 250.0, r          # it actually drove
-    assert r.get("loops", 0) >= 1, r                # loop closure fired
+    # loop closure machinery fired: either a loop was applied or one was
+    # detected+verified and skipped as uninformative by the SNR gate
+    n_loops = (r.get("loops") or 0) + (r.get("loops_uninformative") or 0)
+    assert n_loops >= 1, r
     assert r["ate_trans_rmse_m"] < 3.0, r
     assert r["ate_rot_rmse_deg"] < 8.0, r
     import math
     assert math.isfinite(r["arte_trans_pct"]), r    # 100/200 m segments
     assert r["arte_trans_pct"] < 6.0, r
+
+
+def test_kitti_loops_do_not_degrade_odometry():
+    """The round-4 hole: the backend made the trajectory 10x worse than
+    its own odometry (SLAM 1.99 m vs odom 0.21 m) and no gate noticed.
+    With the r5 SNR gate + drift-scaled covariances, applying (or
+    refusing) loops must keep SLAM ATE within a small factor of the
+    odometry ATE. Gated on artifacts produced by the r5 pipeline
+    (recognized by the loops_uninformative field)."""
+    r = _load().get("kitti_synth", {})
+    if "loops_uninformative" not in r:
+        pytest.skip("artifact predates the r5 SNR-gated pipeline")
+    o = r.get("odom_only")
+    if o is None:
+        pytest.skip("odom_only not recorded")
+    slam, odom = r["ate_trans_rmse_m"], o["ate_trans_rmse_m"]
+    assert slam <= max(1.5 * odom, odom + 0.3), (slam, odom)
+
+
+def test_kitti_noisy_loop_pays():
+    """VERDICT r4 item 3 done-criterion: a recorded run where loop
+    closure IMPROVES the trajectory (random-walk odometry regime,
+    kitti_synth_noisy config). Skipped until that artifact exists."""
+    r = _load().get("kitti_synth_noisy")
+    if r is None:
+        pytest.skip("noisy-odometry run not recorded")
+    o = r["odom_only"]
+    assert r.get("loops", 0) >= 1, r
+    assert r["ate_trans_rmse_m"] <= o["ate_trans_rmse_m"], (
+        r["ate_trans_rmse_m"], o["ate_trans_rmse_m"])
+
+
+def test_results_md_tables_match_artifacts():
+    """RESULTS.md numeric tables must byte-match the committed JSONs
+    (VERDICT r4: hand-pasted numbers drifted two rounds running)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "gen_results_tables",
+        os.path.join(REPO, "scripts", "gen_results_tables.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.main(check=True) == 0, (
+        "RESULTS.md stale — run scripts/gen_results_tables.py")
 
 
 def test_kitti_odometry_quality():
