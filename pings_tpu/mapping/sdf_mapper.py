@@ -239,31 +239,45 @@ def make_sdf_scan_step(cfg, optimizer: optax.GradientTransformation):
     step(params, opt_state, pool, key, static_map, decoders, freeze,
          iters=N) -> (params, opt_state, stacked_metrics)
 
-    Batches are drawn from the replay pool *inside* the scan (the pool is
+    Batches are drawn from the replay pool *inside* the loop (the pool is
     device state), so a frame's whole ``mapping_iters`` loop — previously
     ~3 dispatches per iteration over the TPU tunnel — costs one dispatch.
-    ``iters`` is static; the adaptive-iteration scheme yields only a
-    handful of distinct values so compile count stays bounded."""
+    ``iters`` is a TRACED dynamic bound (lax.fori_loop): the adaptive
+    iteration scheme and the frame-0 init burst all share ONE compiled
+    program — r4's time tables showed each distinct static count
+    triggering a fresh multi-minute compile mid-run (VERDICT r4 item 5).
+    Metrics are the LAST iteration's (leading axis 1 for caller compat)."""
     from pings_tpu.mapping import pool as rp
 
     body = _make_sdf_step_body(cfg, optimizer)
     bs = cfg.bs
     bs_new = min(cfg.bs_new_sample, cfg.bs // 2)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1),
-                       static_argnames=("iters",))
+    # no donate_argnums: params share buffers with static_map (the
+    # feature arrays), and the while-loop lowering of the dynamic bound
+    # makes XLA flag the donated-and-also-passed buffer (runtime
+    # INVALID_ARGUMENT). The transient copy is ~2x the feature arrays —
+    # small against HBM.
+    @jax.jit
     def scan_step(params, opt_state, pool, key, static_map, decoders,
-                  freeze, iters: int):
-        keys = jax.random.split(key, iters)
-
-        def scan_body(carry, k):
-            p, s = carry
+                  freeze, iters):
+        def loop_body(i, carry):
+            p, s, _ = carry
+            k = jax.random.fold_in(key, i)
             batch = rp.pool_batch(pool, k, bs, bs_new)
             p, s, met = body(p, s, batch, static_map, decoders, freeze)
-            return (p, s), met
+            return (p, s, met)
 
-        (params, opt_state), mets = jax.lax.scan(
-            scan_body, (params, opt_state), keys)
+        # a zero-metric placeholder with the same structure as one step
+        met0 = jax.eval_shape(
+            lambda p, s: body(p, s, rp.pool_batch(pool, key, bs, bs_new),
+                              static_map, decoders, freeze)[2],
+            params, opt_state)
+        met0 = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), met0)
+        params, opt_state, met = jax.lax.fori_loop(
+            0, jnp.asarray(iters, jnp.int32), loop_body,
+            (params, opt_state, met0))
+        mets = jax.tree.map(lambda x: jnp.asarray(x)[None], met)
         return params, opt_state, mets
 
     return scan_step
