@@ -310,6 +310,20 @@ def write_results(run_dir, cfg, system, ds, reports, gt, wall) -> dict:
         for r in reports:
             w.writerow([r.frame_id] + [f"{r.timings.get(k, 0):.4f}"
                                        for k in keys])
+    # per-frame scalar metrics (gs_psnr, sdf_bce, ...): the reference
+    # logs per-iter GS losses to wandb (mapper.py:1559-1574); a csv
+    # trace makes collapses diagnosable from artifacts alone
+    mkeys = sorted({k for r in reports for k in r.metrics
+                    if isinstance(r.metrics[k], (int, float))})
+    if mkeys:
+        with open(os.path.join(run_dir, "metrics_table.csv"), "w",
+                  newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["frame"] + mkeys)
+            for r in reports:
+                w.writerow([r.frame_id]
+                           + [f"{r.metrics[k]:.4f}" if k in r.metrics
+                              else "" for k in mkeys])
     return results
 
 

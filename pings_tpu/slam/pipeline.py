@@ -711,6 +711,7 @@ class SlamSystem:
         for pc in plan:
             order.setdefault(pc.slot, []).append(pc)
         plan = [pc for group in order.values() for pc in group]
+        short_term_iter = []
         for it in range(gs_iters):
             pc = plan[it]
             level = base_level
@@ -718,6 +719,7 @@ class SlamSystem:
             if cfg.long_term_train_down and pc in self.campool.long:
                 level += 1
                 depth_w = 4.0
+            short_term_iter.append(level == base_level)
             cam = pc.level(level)   # cached pyramid (no per-iter device ops)
             h, w = cam.rgb.shape[:2]
             gstep = self._ensure_gs(w, h)
@@ -755,8 +757,19 @@ class SlamSystem:
             sum(m.nonfinite for m in mets_pending))) if mets_pending else 0
         if met is not None:
             self._apply_gs_params()
-            rep.metrics["gs_psnr"] = float(met.psnr)
-            rep.metrics["gs_l1"] = float(met.rgb_l1)
+            # online PSNR = mean over this frame's SHORT-TERM base-level
+            # iterations (long-term pool views train one pyramid level
+            # coarser on old keyframes whose local map may since have
+            # drifted/deformed — a last-iteration sample of those
+            # reported drift, not current mapping quality; r4's kitti
+            # "12.2" was exactly that artifact). Falls back to the last
+            # iteration if the whole frame trained long-term views.
+            st = [m for m, s in zip(mets_pending, short_term_iter) if s]
+            psnr_v, l1_v = ((sum(m.psnr for m in st) / len(st),
+                             sum(m.rgb_l1 for m in st) / len(st))
+                            if st else (met.psnr, met.rgb_l1))
+            rep.metrics["gs_psnr"] = float(psnr_v)
+            rep.metrics["gs_l1"] = float(l1_v)
             rep.metrics["sdf_bce"] = float(met.sdf_bce)
             if n_nonfinite:
                 # skipped updates (non-finite gradients) — surfaced like
