@@ -252,12 +252,35 @@ def _split_dot(a, b, dims, fast: bool = False):
     return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
-def _excl_prod(one_m, tri_s, fast: bool = False):
+def _excl_prod_logmm(one_m, tri_s, fast: bool = False):
     """Exclusive prefix product along sublanes via one triangular MXU
     matmul in log space. one_m in [1e-3, 1] (alpha clamps at 0.999)
     keeps the log bounded; where transmittance is non-negligible the
-    summed log is O(10), so the exp round-trip error is ~1e-6 relative."""
+    summed log is O(10), so the exp round-trip error is ~1e-6 relative.
+
+    Superseded by the shift-multiply scan below (r5): the log+exp pair
+    costs ~1 VPU transcendental per slot-pixel on both ends, measured
+    2.76 vs 2.01 ms for the fwd kernel at (3600, 128, 256)
+    (scripts/diag/kernel_formulation_probe.py). Kept for the probe."""
     return jnp.exp(_tri_matmul(tri_s, jnp.log(one_m), fast))
+
+
+def _excl_prod(one_m, tri_s, fast: bool = False):
+    """Exclusive prefix product along sublanes: Hillis-Steele scan of
+    log2(sb) shifted f32 multiplies. Exact (no log/exp round-trip, no
+    bf16 matmul error — the 'fast' blend's dominant drift source) and
+    ~27% faster than the log-space MXU matmul it replaces. ``tri_s`` is
+    unused (kept for signature parity with _excl_prod_logmm)."""
+    del tri_s, fast
+    sb, P = one_m.shape
+    x = one_m
+    sh = 1
+    while sh < sb:
+        pad = jnp.ones((sh, P), one_m.dtype)
+        x = x * jnp.concatenate([pad, x[:sb - sh]], axis=0)
+        sh *= 2
+    return jnp.concatenate([jnp.ones((1, P), one_m.dtype),
+                            x[:sb - 1]], axis=0)
 
 
 def _super_alpha(chunk, px, py, mode: str):
