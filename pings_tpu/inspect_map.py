@@ -109,7 +109,7 @@ def _local_data(cfg, system, center: np.ndarray):
     mask, _sur = npm.compute_local_mask(
         system.m, jnp.asarray(center, jnp.float32), jnp.int32(0),
         system.travel_dev, jnp.float32(cfg.local_map_radius),
-        jnp.float32(np.inf))
+        jnp.float32(np.inf), max_local=cfg.max_local_points)
     return gather_local_data(system.m, mask, cfg.max_local_points)
 
 

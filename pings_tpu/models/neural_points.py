@@ -210,6 +210,8 @@ def compute_local_mask(
     local_radius: jnp.ndarray,   # () f32
     dist_window: jnp.ndarray,    # () f32 travel-dist window
     use_mid_ts: bool = True,
+    max_local: int | None = None,
+    max_surround: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (local_mask, surrounding_mask) over the point buffer.
 
@@ -217,7 +219,19 @@ def compute_local_mask(
     travel-dist window. surrounding: the frozen annulus out to
     1.4*local_radius used as non-optimizable render background
     (neural_gaussians.py:436-479).
-    """
+
+    ``max_local`` / ``max_surround``: NEAREST-FIRST capacity truncation.
+    The downstream padded views (``jnp.nonzero(mask, size=cap)``) keep
+    the first ``cap`` true indices in BUFFER (= insertion) order, so an
+    over-cap local window silently kept the oldest points and dropped
+    the newest — exactly the frontier the camera looks at. On the r5
+    kitti circuit (~2000 pts per meter of track, 63 m radius) the 65536
+    cap saturated by frame ~30 and online GS PSNR decayed monotonically
+    18 -> 10 as ever more recent geometry went missing. With a cap set,
+    the radius adapts (128-bin distance histogram + cumsum, one extra
+    device op) so the NEAREST points fill the budget; displaced
+    local points fall back into the surrounding mask, which still
+    renders (frozen) instead of vanishing."""
     ts = ((m.ts_create + m.ts_update) // 2) if use_mid_ts else m.ts_update
     gap = jnp.abs(travel_dist[cur_ts] - travel_dist[ts])
     time_ok = gap < dist_window
@@ -227,6 +241,27 @@ def compute_local_mask(
     active = m.valid_mask
     local = active & time_ok & in_r
     surrounding = active & time_ok & in_sr & ~in_r
+
+    nb = 128
+    bins = jnp.clip((d / (1.4 * local_radius) * nb).astype(jnp.int32),
+                    0, nb - 1)
+
+    def _nearest_first(mask, cap):
+        hist = jnp.zeros(nb + 1, jnp.int32).at[
+            jnp.where(mask, bins, nb)].add(1)
+        cum = jnp.cumsum(hist[:nb])
+        # keep whole bins while they fit; always keep >= 1 bin (a single
+        # 0.7 m-wide bin over cap is degenerate; nonzero's own
+        # truncation bounds that residual case)
+        b_keep = jnp.maximum(jnp.sum((cum <= cap).astype(jnp.int32)), 1)
+        return mask & (bins < b_keep)
+
+    if max_local is not None:
+        kept = _nearest_first(local, max_local)
+        surrounding = surrounding | (local & ~kept)
+        local = kept
+    if max_surround is not None:
+        surrounding = _nearest_first(surrounding, max_surround)
     return local.at[-1].set(False), surrounding.at[-1].set(False)
 
 

@@ -453,7 +453,8 @@ class SlamSystem:
             local, sur = npm.compute_local_mask(
                 m, origin, fid, travel_dev,
                 jnp.float32(cfg.local_map_radius), jnp.float32(thre),
-                cfg.use_mid_ts)
+                cfg.use_mid_ts, max_local=cfg.max_local_points,
+                max_surround=cfg.max_surrounding_points)
             m = m.replace(local_mask=local)
             incid = None
             if incid_on:

@@ -110,6 +110,28 @@ def kitti_rows(res):
     return "\n".join(rows)
 
 
+def noisy_rows(res):
+    k = res.get("kitti_synth_noisy")
+    if k is None:
+        return None
+    o = k.get("odom_only", {})
+    return "\n".join([
+        "| metric | full SLAM (loops on) | corrupted odometry |",
+        "|---|---|---|",
+        f"| ATE trans RMSE | **{k['ate_trans_rmse_m']:.3f} m** | "
+        f"{o.get('ate_trans_rmse_m', float('nan')):.3f} m |",
+        f"| ATE rot RMSE | {k['ate_rot_rmse_deg']:.2f}° | "
+        f"{o.get('ate_rot_rmse_deg', float('nan')):.2f}° |",
+        f"| ARTE trans | {k.get('arte_trans_pct', float('nan')):.2f} % | "
+        f"{o.get('arte_trans_pct', float('nan')):.2f} % |",
+        f"| loops applied / skipped-uninformative | {k.get('loops')} / "
+        f"{k.get('loops_uninformative', 0)} | — |",
+        f"| frames / aborted | {k['frames']} / "
+        f"{'yes' if k.get('aborted') else 'no'} | — |",
+        f"| run | {os.path.basename(k['run_dir'])} |  |",
+    ])
+
+
 def loop_rows():
     path = os.path.join(REPO, "runs_validation",
                         "loop_value_experiment.json")
@@ -152,6 +174,9 @@ def main(check=False):
     lv = loop_rows()
     if lv:
         blocks["loopvalue"] = lv
+    nz = noisy_rows(res)
+    if nz:
+        blocks["noisy"] = nz
 
     path = os.path.join(REPO, "RESULTS.md")
     with open(path) as f:

@@ -150,3 +150,57 @@ class TestPGO:
         m2 = npm.prune_map(m, jnp.float32(2.0))
         kept = np.array(m2.valid_mask[:n])
         assert np.sum(kept) == n // 2
+
+
+class TestNearestFirstLocalMask:
+    def test_adaptive_truncation_keeps_nearest(self, cfg):
+        """Over-cap local windows must keep the NEAREST points, not the
+        first-inserted (r5: the insertion-order nonzero cut dropped the
+        camera's frontier on the kitti circuit — online PSNR 18 -> 10).
+        Displaced local points must fall into the surrounding mask."""
+        m = npm.init_map(cfg)
+        rng = np.random.default_rng(0)
+        # 600 points: 300 FAR (inserted FIRST, at r in [20, 28]) then
+        # 300 NEAR (r in [1, 8]); radius 30 so all are 'local'
+        far = rng.uniform(20, 28, (300, 1)) * _unit(rng, 300)
+        near = rng.uniform(1, 8, (300, 1)) * _unit(rng, 300)
+        m = insert(m, far, ts=0)
+        m = insert(m, near, ts=0)
+        origin = jnp.zeros(3)
+        travel = jnp.zeros(128)
+        local, sur = npm.compute_local_mask(
+            m, origin, jnp.int32(0), travel, jnp.float32(30.0),
+            jnp.float32(1e9), max_local=300)
+        d = np.linalg.norm(np.asarray(m.positions), axis=-1)
+        loc = np.asarray(local)
+        s = np.asarray(sur)
+        assert loc.sum() <= 300 + 64  # bin-granularity slack
+        # every kept point is nearer than every dropped-but-in-radius one
+        kept_max = d[loc].max()
+        displaced = (~loc) & s & (d < 30.0)
+        assert displaced.sum() > 0
+        assert kept_max <= d[displaced].min() + 1e-5
+        # nothing within radius vanished entirely (the last buffer slot
+        # is the padding sentinel, excluded by design)
+        active = np.asarray(m.valid_mask) & (d < 30.0)
+        active[-1] = False
+        assert np.all(loc[active] | s[active])
+
+    def test_under_cap_unchanged(self, cfg):
+        m = npm.init_map(cfg)
+        rng = np.random.default_rng(1)
+        pts = rng.uniform(-5, 5, (200, 3))
+        m = insert(m, pts)
+        travel = jnp.zeros(128)
+        a, _ = npm.compute_local_mask(
+            m, jnp.zeros(3), jnp.int32(0), travel, jnp.float32(30.0),
+            jnp.float32(1e9))
+        b, _ = npm.compute_local_mask(
+            m, jnp.zeros(3), jnp.int32(0), travel, jnp.float32(30.0),
+            jnp.float32(1e9), max_local=4096, max_surround=4096)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def _unit(rng, n):
+    v = rng.normal(size=(n, 3))
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)
