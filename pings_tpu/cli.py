@@ -234,6 +234,7 @@ def write_results(run_dir, cfg, system, ds, reports, gt, wall) -> dict:
                "map_points": int(system.m.count),
                "loops": system.n_loops,
                "loops_uninformative": system.n_loops_uninformative,
+               "loop_events": system.loop_events,
                "travel_m": round(system.travel[-1], 2) if system.travel
                else 0.0,
                "aborted": bool(system.aborted),

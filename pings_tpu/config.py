@@ -206,6 +206,18 @@ class Config:
     # the correction clears this gate. Skipped loops are counted in
     # metrics (n_loops_uninformative). 0 disables the gate.
     pgo_min_loop_snr: float = 5.0
+    # loop verification gates (r5): the 20260822_052655 run applied ONE
+    # loop whose registration carried a multi-degree yaw error — the
+    # fixed 20 deg rotation gate let it through and PGO smeared ~16 deg
+    # across the chain (SLAM ATE 2.05 m vs odometry 0.13 m). (a) the
+    # rotational correction must be explainable by rotational drift:
+    # bound = max(floor, 3 * pgo_drift_rot_deg_per_m * travel-since-
+    # loop); (b) the loop registration's weighted mean residual must be
+    # comparable to the SAME frame's odometry registration residual — a
+    # mis-locked match on self-similar geometry converges with a clearly
+    # higher residual than a true revisit. 0 disables either gate.
+    pgo_loop_rot_floor_deg: float = 2.0
+    pgo_max_loop_res_ratio: float = 2.0
 
     # ---------------- validation-only odometry noise injection ---------
     # perturb each committed tracker relative pose with random-walk noise

@@ -88,6 +88,8 @@ class SlamSystem:
         self.abort_reason = ""
         self.n_loops = 0
         self.n_loops_uninformative = 0
+        self.loop_events: List[dict] = []   # per-attempt audit trail
+        self._last_track_res = float("nan")  # this frame's odometry res
         self._last_loop_fid = -(10 ** 9)
         self._odom_noise_rng = np.random.default_rng(cfg.odom_noise_seed)
         # robot-stop detection (reference slam_dataset.py:709-721)
@@ -180,6 +182,7 @@ class SlamSystem:
                 rep.tracking_valid = res.valid and not res.degenerate
                 T = res.T_w_l if rep.tracking_valid else T_guess
                 rep.metrics["track_res_m"] = res.mean_res
+                self._last_track_res = float(res.mean_res)
                 rep.metrics["track_iter"] = res.iterations
                 rep.metrics["track_valid_ratio"] = res.valid_ratio
                 rep.metrics["track_degen"] = float(res.degenerate)
@@ -330,19 +333,44 @@ class SlamSystem:
                                  self.travel, fid, drift, cfg)
         init_T = None
         cand_fid = None
+        hit = None
         if cand is not None:
             cand_fid = cand[0]
-            init_T = self.poses[cand_fid]
+            # r5: init the verification at the CURRENT pose estimate, not
+            # the candidate's pose. The loop registration measures the
+            # accumulated drift against the revisited (old) geometry, and
+            # drift is meters at most — while the candidate can sit
+            # max_loop_dist (8 m+) away. The 20260822_081947 audit trail
+            # showed candidate-pose inits stalling near the init on the
+            # self-similar corridor (Geman-McClure downweights everything
+            # from a far init): T_loop tracked poses[cand] and the
+            # "correction" was literally the distance to the candidate
+            # (11 -> 2 m over frames 219-226), which PGO then smeared.
+            # Scan-context (global) candidates keep the candidate-pose
+            # init: they exist for relocalization-scale drift where the
+            # current estimate is the thing that cannot be trusted.
+            init_T = self.poses[-1].copy()
         elif cfg.local_map_context and self.sc is not None:
             hit = self.sc.detect_global_loop(src_np, fid, feats=src_feats)
             if hit is not None:
-                cand_fid, _, yaw, side = hit
+                cand_fid, sc_dist, yaw, side = hit
                 T_c = self.poses[cand_fid].copy()
                 adj = np.eye(4)
                 adj[:3, :3] = hp.so3_exp(np.array([0, 0, -yaw]))
                 adj[:3, 3] = [0.0, -side, 0.0]
                 init_T = T_c @ adj
         if cand_fid is None:
+            return False
+        ev = {"frame": fid, "cand": int(cand_fid),
+              "source": "local" if cand is not None else "scan_context",
+              "drift_est_m": round(drift, 3)}
+        if cand is None and hit is not None:
+            ev["sc_cosdist"] = round(float(sc_dist), 4)
+        self.loop_events.append(ev)
+
+        def _reject(why: str) -> bool:
+            ev["decision"] = why
+            self.m = npm.recreate_hash(self.m)
             return False
         # re-bucket the hash around the loop context so verification
         # registers against the *revisited* (old) geometry, then verify by
@@ -355,9 +383,10 @@ class SlamSystem:
                                  max_iter=cfg.reg_iter_n) \
             if self.tracker else None
         if res is None or not res.valid or res.degenerate:
-            self.m = npm.recreate_hash(self.m)
-            return False
+            return _reject("registration_invalid")
         T_loop = res.T_w_l  # corrected world pose of the current frame
+        ev["reg_res_m"] = round(float(res.mean_res), 4)
+        ev["odom_res_m"] = round(self._last_track_res, 4)
         # drift-consistency gate: the loop's implied pose correction must
         # be explainable by odometry drift (1%/m of travel since the last
         # loop + a floor). Scan-context matching in self-similar corridors
@@ -372,10 +401,31 @@ class SlamSystem:
         corr_tr = float(np.linalg.norm(T_loop[:3, 3] - self.poses[-1][:3, 3]))
         corr_rot = hp.rotation_angle_deg(
             self.poses[-1][:3, :3].T @ T_loop[:3, :3])
+        ev["corr_tr_m"] = round(corr_tr, 3)
+        ev["corr_rot_deg"] = round(float(corr_rot), 3)
         drift_bound = max(2.0, 3.0 * drift)
-        if corr_tr > drift_bound or corr_rot > 20.0:
-            self.m = npm.recreate_hash(self.m)
-            return False
+        # rotational drift bound (r5, config.pgo_loop_rot_floor_deg): the
+        # previous fixed 20 deg ceiling admitted a loop factor with a
+        # multi-degree yaw error that PGO then rotated through the whole
+        # chain (lever arm: 2 deg at 100 m displaces poses by 3.5 m)
+        travel_since = max(self.travel[-1] - self.pgo.travel_dist_at_loop,
+                           0.0)
+        rot_bound = max(cfg.pgo_loop_rot_floor_deg,
+                        3.0 * cfg.pgo_drift_rot_deg_per_m * travel_since)
+        if corr_tr > drift_bound:
+            return _reject("drift_bound")
+        if cfg.pgo_loop_rot_floor_deg > 0 and corr_rot > rot_bound:
+            return _reject("rot_bound")
+        # residual-ratio gate (r5, config.pgo_max_loop_res_ratio): a true
+        # revisit registers against the SAME physical geometry the
+        # odometry just registered against, so its weighted residual must
+        # be comparable; a mis-locked match on self-similar structure
+        # converges with a clearly higher one
+        if (cfg.pgo_max_loop_res_ratio > 0
+                and np.isfinite(self._last_track_res)
+                and float(res.mean_res)
+                > cfg.pgo_max_loop_res_ratio * self._last_track_res):
+            return _reject("res_ratio")
         # informativeness (SNR) gate: a correction of the same order as
         # the loop's own registration noise cannot improve the
         # trajectory — applying it redistributes systematic drift into a
@@ -385,13 +435,11 @@ class SlamSystem:
         if (cfg.pgo_min_loop_snr > 0
                 and corr_tr < cfg.pgo_min_loop_snr * cfg.pgo_tran_std):
             self.n_loops_uninformative += 1
-            self.m = npm.recreate_hash(self.m)
-            return False
+            return _reject("uninformative")
         T_i_j = hp.se3_inv(self.poses[cand_fid]) @ T_loop
         old_poses = [p.copy() for p in self.pgo.poses]
         if not self.pgo.try_loop_closure(cand_fid, fid, T_i_j):
-            self.m = npm.recreate_hash(self.m)
-            return False
+            return _reject("pgo_residual")
         # apply corrections: poses, map, pool
         deltas = self.pgo.pose_deltas(old_poses)
         self.poses = [p.copy() for p in self.pgo.poses]
@@ -411,6 +459,7 @@ class SlamSystem:
                         T_c_w=jnp.asarray(T_c_w, jnp.float32)))
         self.pgo.travel_dist_at_loop = self.travel[-1]
         self.n_loops += 1
+        ev["decision"] = "applied"
         self.T_rel_last = hp.se3_inv(self.poses[-2]) @ self.poses[-1] \
             if len(self.poses) > 1 else np.eye(4)
         return True
